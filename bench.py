@@ -1,0 +1,139 @@
+"""Headline benchmark: scored user-item pairs/sec/chip in the retrieval sweep.
+
+Measures the full masked scoring + top-k evaluation sweep (the reference's
+``_evaluate`` hot path, BaseRecommender.py:153-188) at MovieLens scale
+(6,040 users x 3,706 items, d=64, topN=20, realistic rated-mask density)
+on the available accelerator, and compares against the PyTorch reference
+implementation of the same sweep running on this host's CPU (the reference
+publishes no numbers — BASELINE.md — so the baseline is measured in-place).
+
+Prints ONE JSON line:
+  {"metric": "scored_pairs_per_sec", "value": N, "unit": "pairs/s",
+   "vs_baseline": ratio}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_USERS = 6040
+N_ITEMS = 3706
+DIM = 64
+TOP_K = 20
+BATCH = 1024
+MAX_RATED = 256
+REPEATS = 5
+SWEEPS_PER_REPEAT = 4
+
+
+def _make_problem(seed=0):
+    rng = np.random.default_rng(seed)
+    user_emb = rng.standard_normal((N_USERS, DIM)).astype(np.float32)
+    item_emb = rng.standard_normal((N_ITEMS, DIM)).astype(np.float32)
+    # realistic rated mask: ~130 rated items/user (MovieLens train density)
+    rated = np.full((N_USERS, MAX_RATED), N_ITEMS, dtype=np.int32)
+    n_rated = rng.integers(20, MAX_RATED, size=N_USERS)
+    for u in range(N_USERS):
+        rated[u, : n_rated[u]] = rng.choice(N_ITEMS, n_rated[u], replace=False)
+    excluded = np.zeros(N_ITEMS, dtype=bool)
+    excluded[rng.choice(N_ITEMS, N_ITEMS // 5, replace=False)] = True
+    return user_emb, item_emb, rated, excluded
+
+
+def bench_jax(user_emb, item_emb, rated, excluded) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from coldrec_tpu.runtime.eval import masked_topk
+
+    ue = jnp.asarray(user_emb)
+    ie = jnp.asarray(item_emb)
+    n_chunks = N_USERS // BATCH + (1 if N_USERS % BATCH else 0)
+    pad_users = n_chunks * BATCH
+    user_ids = np.arange(pad_users, dtype=np.int32) % N_USERS
+    uid = jnp.asarray(user_ids.reshape(n_chunks, BATCH))
+    rat = jnp.asarray(
+        rated[user_ids].reshape(n_chunks, BATCH, MAX_RATED)
+    )
+    exc = jnp.asarray(excluded)
+
+    @jax.jit
+    def sweep(ue, ie, uid, rat, exc):
+        def chunk(c, _):
+            scores = ue[uid[c]] @ ie.T
+            _, idx = masked_topk(scores, rat[c], exc, TOP_K)
+            return c + 1, idx
+
+        _, idxs = jax.lax.scan(chunk, 0, None, length=n_chunks)
+        return idxs
+
+    # warmup/compile
+    jax.block_until_ready(sweep(ue, ie, uid, rat, exc))
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(SWEEPS_PER_REPEAT):
+            out = sweep(ue, ie, uid, rat, exc)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / SWEEPS_PER_REPEAT
+        best = min(best, dt)
+    return (pad_users * N_ITEMS) / best
+
+
+def bench_torch_baseline(user_emb, item_emb, rated, excluded) -> float:
+    """The reference's eval path (torch matmul + masking + topk) on host CPU."""
+    import torch
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    ue = torch.from_numpy(user_emb)
+    ie = torch.from_numpy(item_emb)
+    exc_idx = torch.from_numpy(np.where(excluded)[0])
+    n_bench_users = 2048
+    rows = torch.arange(BATCH)[:, None]
+    wide_cols = N_ITEMS + 1
+
+    def sweep_chunk(start):
+        users = torch.arange(start, start + BATCH) % N_USERS
+        scores = ue[users] @ ie.T
+        wide = torch.cat([scores, torch.zeros(BATCH, 1)], dim=1)
+        r = torch.from_numpy(rated[users.numpy()].astype(np.int64))
+        wide[rows, r] = -10e8
+        sc = wide[:, :N_ITEMS]
+        sc[:, exc_idx] = -10e8
+        torch.topk(sc, TOP_K, dim=1)
+
+    # warmup
+    sweep_chunk(0)
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_bench_users:
+        sweep_chunk(done)
+        done += BATCH
+    dt = time.perf_counter() - t0
+    return (done * N_ITEMS) / dt
+
+
+def main():
+    user_emb, item_emb, rated, excluded = _make_problem()
+    jax_pps = bench_jax(user_emb, item_emb, rated, excluded)
+    try:
+        torch_pps = bench_torch_baseline(user_emb, item_emb, rated, excluded)
+        ratio = jax_pps / torch_pps
+    except Exception:
+        ratio = float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "scored_pairs_per_sec",
+                "value": round(jax_pps, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(ratio, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Common configuration flags (reference: main.py:90-143 argparse defaults).
+
+The args object is a plain namespace so the CLI (argparse), the Optuna
+search, and test code all share one shape. ``default_args`` reproduces the
+reference's common defaults; model-specific flags are layered on by
+:mod:`coldrec_tpu.config.model_params`.
+"""
+from __future__ import annotations
+
+import argparse
+from types import SimpleNamespace
+
+COMMON_DEFAULTS = dict(
+    dataset="citeulike",
+    model="MF",
+    epochs=500,
+    layers=2,
+    topN="10,20",
+    bs=4096,
+    emb_size=64,
+    lr=0.001,
+    reg=0.0001,
+    runs=1,
+    seed=2024,
+    save_emb=True,
+    cold_object="item",
+    backbone="MF",
+    early_stop=10,
+    eval_every=1,
+    data_dir="./data",
+    emb_dir="./emb",
+    result_dir="./result",
+    result_log="history.txt",
+    result_file="",
+    result_overwrite=False,
+)
+
+
+def default_args(**overrides) -> SimpleNamespace:
+    d = dict(COMMON_DEFAULTS)
+    model = overrides.get("model", d["model"])
+    from .model_params import registry_defaults
+
+    d.update(registry_defaults(model))
+    d.update(overrides)
+    return SimpleNamespace(**d)
+
+
+def make_args(argv=None) -> argparse.Namespace:
+    """Two-stage argparse mirroring the reference CLI (main.py:83-146)."""
+    from .model_params import add_model_params
+
+    parser = argparse.ArgumentParser(description="coldrec_tpu")
+    for name, val in COMMON_DEFAULTS.items():
+        if isinstance(val, bool):
+            parser.add_argument(f"--{name}", type=_str2bool, default=val)
+        else:
+            parser.add_argument(f"--{name}", type=type(val), default=val)
+    args, _ = parser.parse_known_args(argv)
+    parser = add_model_params(args.model, parser)
+    return parser.parse_args(argv)
+
+
+def _str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")

@@ -1,0 +1,153 @@
+"""Shared model building blocks: initializers, MLP, train-step factory.
+
+Models are plain parameter pytrees (dicts of jnp arrays) + pure functions;
+optimization is optax. ``xavier_uniform`` matches torch's
+``nn.init.xavier_uniform_`` gain-1 semantics used throughout the reference
+(e.g. MF.py:73-79), so statistical parity of initial scales holds.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32) -> jnp.ndarray:
+    fan_in, fan_out = shape[-2], shape[-1]
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(key, shape, dtype, minval=-limit, maxval=limit)
+
+
+def normal_init(key, shape, std=0.01, dtype=jnp.float32) -> jnp.ndarray:
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def linear_params(key, in_dim: int, out_dim: int, bias: bool = True) -> Dict:
+    """torch nn.Linear default init: kaiming-uniform W, uniform bias."""
+    kw, kb = jax.random.split(key)
+    bound = float(1.0 / np.sqrt(in_dim))
+    p = {
+        "w": jax.random.uniform(
+            kw, (in_dim, out_dim), minval=-bound, maxval=bound
+        )
+    }
+    if bias:
+        p["b"] = jax.random.uniform(kb, (out_dim,), minval=-bound, maxval=bound)
+    return p
+
+
+def linear(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def mlp_params(key, dims: Sequence[int]) -> list:
+    keys = jax.random.split(key, len(dims) - 1)
+    return [linear_params(k, a, b) for k, a, b in zip(keys, dims[:-1], dims[1:])]
+
+
+def mlp_apply(
+    params: list, x: jnp.ndarray, activation=jax.nn.relu, final_activation=None
+) -> jnp.ndarray:
+    """3-layer helper analog of the reference MLP (utils.py:10-22) for any depth."""
+    for i, p in enumerate(params):
+        x = linear(p, x)
+        if i < len(params) - 1:
+            x = activation(x)
+        elif final_activation is not None:
+            x = final_activation(x)
+    return x
+
+
+def adam(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """torch.optim.Adam semantics: L2 term added to the gradient (not AdamW)."""
+    if weight_decay:
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.adam(lr)
+        )
+    return optax.adam(lr)
+
+
+def adagrad(lr: float) -> optax.GradientTransformation:
+    """torch.optim.Adagrad (VBPR/AMR/MTPR embedding optimizer)."""
+    return optax.adagrad(lr, initial_accumulator_value=0.0)
+
+
+def make_train_step(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    donate: bool = True,
+) -> Callable:
+    """jit-compiled (params, opt_state, batch, *extra) -> (params, opt_state, loss).
+
+    ``loss_fn(params, batch, *extra) -> scalar``. Params/opt_state buffers are
+    donated so the big embedding tables update in place on device.
+    """
+
+    def step(params, opt_state, batch, *extra):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, *extra)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def dot_scores(user_emb: jnp.ndarray, item_emb: jnp.ndarray) -> Callable:
+    """score_fn(user_ids) = U[user_ids] @ I.T, jitted once per table pair."""
+
+    @jax.jit
+    def score(users):
+        return user_emb[users] @ item_emb.T
+
+    return score
+
+
+def batchnorm_params(dim: int) -> Dict:
+    return {
+        "scale": jnp.ones((dim,)),
+        "bias": jnp.zeros((dim,)),
+    }
+
+
+def batchnorm_state(dim: int) -> Dict:
+    return {"mean": jnp.zeros((dim,)), "var": jnp.ones((dim,))}
+
+
+def batchnorm_apply(
+    params: Dict,
+    state: Dict,
+    x: jnp.ndarray,
+    training: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, Dict]:
+    """torch BatchNorm1d semantics incl. running-stat update in train mode."""
+    if training:
+        mean = jnp.mean(x, axis=0)
+        var = jnp.var(x, axis=0)
+        n = x.shape[0]
+        unbiased = var * n / max(n - 1, 1)
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x - mean) / jnp.sqrt(var + eps) * params["scale"] + params["bias"]
+    return y, new_state
+
+
+def dropout(key, x: jnp.ndarray, rate: float, training: bool) -> jnp.ndarray:
+    if not training or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)

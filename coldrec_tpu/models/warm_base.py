@@ -1,0 +1,116 @@
+"""Shared trainer skeleton for warm CF backbones.
+
+All six warm backbones in the reference (MF.py, LightGCN.py, NGCF.py,
+SimGCL.py, XSimGCL.py, NCL.py) use the identical loop: epoch over
+``next_batch_pairwise``, full-table forward, BPR(+extras) loss, Adam,
+per-epoch ``fast_evaluation('all')``, early-stop break, save best tables to
+the embedding bus. Subclasses provide parameter init, the loss function and
+the full-table forward; everything else lives here once.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.sampler import pairwise_batches
+from ..runtime.checkpoints import save_embeddings
+from ..runtime.trainer import BaseColdStartTrainer
+from .common import adam, dot_scores, make_train_step
+
+
+class WarmBackboneTrainer(BaseColdStartTrainer):
+    """Subclass contract:
+
+    * ``self.params`` initialized in __init__
+    * ``loss_fn(params, batch, key) -> scalar``  (key for stochastic models)
+    * ``forward_tables(params) -> (user_emb, item_emb)`` full eval tables
+    * optionally override ``epoch_hook(epoch)`` (e.g. NCL's e-step)
+    """
+
+    uses_rng_in_loss = False
+
+    def setup_optimizer(self):
+        self.optimizer = adam(self.lr)
+        self.opt_state = self.optimizer.init(self.params)
+        if self.uses_rng_in_loss:
+            self._step = make_train_step(self.loss_fn, self.optimizer)
+        else:
+            def loss_no_key(params, batch):
+                return self.loss_fn(params, batch, None)
+
+            self._step = make_train_step(loss_no_key, self.optimizer)
+        self._forward_jit = jax.jit(self.forward_tables)
+        self.user_emb, self.item_emb = self._forward_jit(self.params)
+        self.best_user_emb, self.best_item_emb = self.user_emb, self.item_emb
+        self._score_fn = None
+
+    # ------------------------------------------------------------- contract
+    def loss_fn(self, params, batch, key):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def forward_tables(self, params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        raise NotImplementedError
+
+    def epoch_hook(self, epoch: int):
+        pass
+
+    def extra_saved_tensors(self) -> Dict[str, np.ndarray]:
+        return {}
+
+    # ----------------------------------------------------------------- loop
+    def train(self):
+        self.timer(start=True)
+        epoch = -1
+        for epoch in range(self.max_epoch):
+            self.epoch_hook(epoch)
+            for n, batch in enumerate(
+                pairwise_batches(self.data, self.batch_size, self.host_rng)
+            ):
+                if self.uses_rng_in_loss:
+                    self.params, self.opt_state, loss = self._step(
+                        self.params, self.opt_state, batch, self.next_key()
+                    )
+                else:
+                    self.params, self.opt_state, loss = self._step(
+                        self.params, self.opt_state, batch
+                    )
+                if n % 50 == 0:
+                    print(
+                        f"training: {epoch + 1} batch {n} "
+                        f"batch_loss: {float(loss):.5f}"
+                    )
+            self.user_emb, self.item_emb = self._forward_jit(self.params)
+            self._score_fn = None
+            if epoch % self.eval_every == 0:
+                self.fast_evaluation(epoch, valid_type="all")
+                if self.should_stop():
+                    break
+        self.epochs_ran = (epoch + 1) if self.max_epoch > 0 else 0
+        self.timer(start=False)
+        self.user_emb, self.item_emb = self.best_user_emb, self.best_item_emb
+        self._score_fn = None
+        if self.args.save_emb:
+            tensors = {
+                "user_emb": np.asarray(self.user_emb),
+                "item_emb": np.asarray(self.item_emb),
+            }
+            tensors.update(self.extra_saved_tensors())
+            save_embeddings(
+                self.args.emb_dir,
+                self.dataset_name,
+                self.args.cold_object,
+                self.model_name,
+                tensors,
+            )
+
+    def save(self):
+        self.best_user_emb = self.user_emb
+        self.best_item_emb = self.item_emb
+
+    def batch_scores(self, user_ids: np.ndarray) -> jnp.ndarray:
+        if self._score_fn is None:
+            self._score_fn = dot_scores(self.user_emb, self.item_emb)
+        return self._score_fn(jnp.asarray(user_ids))

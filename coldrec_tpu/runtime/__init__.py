@@ -1,0 +1,4 @@
+from .trainer import BaseColdStartTrainer, Config
+from .checkpoints import save_embeddings, load_embeddings
+
+__all__ = ["BaseColdStartTrainer", "Config", "save_embeddings", "load_embeddings"]

@@ -1,0 +1,112 @@
+"""Device-side evaluation sweep: masked scoring + top-k retrieval.
+
+Reimplements the reference's ``_evaluate`` hot loop
+(BaseRecommender.py:153-188) as a chunked, jit-compiled sweep:
+
+  * scores for a chunk of users come from the model's score function
+    (typically ``U[users] @ I.T`` on the MXU);
+  * training-rated items are masked to -10e8 via a scatter at padded indices
+    (pad index = item_num lands in a dummy column, BaseRecommender.py:175-177);
+  * cross-split candidate items are masked to -10e8 (BaseRecommender.py:179-181);
+  * ``jax.lax.top_k`` yields the ranked max_N list per user.
+
+Chunks are fixed-size (padded with user 0) so one XLA program serves the
+whole sweep. The Pallas fused scoring kernel (ops/pallas/retrieval.py) slots
+in behind the same interface for large item spaces.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MASK_VALUE = -10e8  # exact reference constant (BaseRecommender.py:177-180)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def masked_topk(
+    scores: jnp.ndarray,  # (B, I)
+    rated_pad: jnp.ndarray,  # (B, R) item ids, pad = I
+    excluded: jnp.ndarray,  # (I,) bool: True = masked out of the candidate pool
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b, n_items = scores.shape
+    wide = jnp.concatenate(
+        [scores, jnp.zeros((b, 1), scores.dtype)], axis=1
+    )
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    wide = wide.at[rows, rated_pad].set(MASK_VALUE, mode="drop")
+    masked = jnp.where(excluded[None, :], MASK_VALUE, wide[:, :n_items])
+    vals, idx = jax.lax.top_k(masked, k)
+    return vals, idx
+
+
+def mask_bias_vector(
+    item_num: int, candidate_mask: Optional[np.ndarray]
+) -> np.ndarray:
+    """Boolean exclusion vector over the item space."""
+    bias = np.zeros(item_num, dtype=bool)
+    if candidate_mask is not None and candidate_mask.size:
+        bias[candidate_mask] = True
+    return bias
+
+
+class EvalSweep:
+    """Precomputed per-(split, setting) eval state + the chunked sweep."""
+
+    def __init__(self, data, cold_object: str, batch_size: int, max_n: int):
+        self.data = data
+        self.cold_object = cold_object
+        self.batch_size = int(batch_size)
+        self.max_n = int(max_n)
+        self._cache: Dict[Tuple[str, str], dict] = {}
+
+    def _prepare(self, split_name: str, data_type: str) -> dict:
+        key = (split_name, data_type)
+        if key in self._cache:
+            return self._cache[key]
+        es = self.data.eval_splits[split_name]
+        users = es.users.astype(np.int32)
+        n = users.shape[0]
+        bs = self.batch_size
+        n_chunks = max(1, -(-n // bs))
+        padded_users = np.zeros(n_chunks * bs, dtype=np.int32)
+        padded_users[:n] = users
+        rated = self.data.rated_padded(padded_users)
+        bias = mask_bias_vector(
+            self.data.item_num,
+            self.data.candidate_mask(self.cold_object, data_type),
+        )
+        state = {
+            "split": es,
+            "n_users": n,
+            "user_chunks": padded_users.reshape(n_chunks, bs),
+            "rated_chunks": jnp.asarray(
+                rated.reshape(n_chunks, bs, -1)
+            ),
+            "bias": jnp.asarray(bias),
+        }
+        self._cache[key] = state
+        return state
+
+    def run(
+        self,
+        split_name: str,
+        data_type: str,
+        score_fn: Callable[[np.ndarray], jnp.ndarray],
+    ) -> np.ndarray:
+        """Return (n_users, max_n) ranked recommended item ids (mapped)."""
+        st = self._prepare(split_name, data_type)
+        outs = []
+        for c in range(st["user_chunks"].shape[0]):
+            users = st["user_chunks"][c]
+            scores = score_fn(users)
+            _, idx = masked_topk(
+                scores, st["rated_chunks"][c], st["bias"], self.max_n
+            )
+            outs.append(idx)
+        rec = jnp.concatenate(outs, axis=0)[: st["n_users"]]
+        return np.asarray(jax.device_get(rec))
