@@ -142,6 +142,40 @@ def info_nce_all(
     return _wmean(-(pos - ttl), weight)
 
 
+def unique_padded(
+    ids: jnp.ndarray, weight: Optional[jnp.ndarray], size: int, sentinel: int
+):
+    """Static-shape unique: returns (safe_ids, valid_mask).
+
+    The reference calls ``torch.unique`` on batch indices before its CL
+    losses (SimGCL.py:54-55). XLA needs static shapes, so uniques are padded
+    to ``size`` with ``sentinel`` and consumers mask the pad entries.
+    """
+    if weight is not None:
+        ids = jnp.where(weight > 0, ids, sentinel)
+    vals = jnp.unique(ids, size=size, fill_value=sentinel)
+    mask = vals != sentinel
+    return jnp.where(mask, vals, 0), mask.astype(jnp.float32)
+
+
+def info_nce_masked(
+    view1: jnp.ndarray,
+    view2: jnp.ndarray,
+    valid: jnp.ndarray,
+    temperature: float,
+) -> jnp.ndarray:
+    """InfoNCE over a padded unique batch: padded rows are dropped and padded
+    columns are excluded from every denominator. Matches the reference's
+    InfoNCE on the unpadded unique set exactly."""
+    v1 = _normalize(view1)
+    v2 = _normalize(view2)
+    logits = (v1 @ v2.T) / temperature
+    neg_inf = jnp.finfo(logits.dtype).min
+    logits = jnp.where(valid[None, :] > 0, logits, neg_inf)
+    log_prob = jnp.diag(logits) - jax.nn.logsumexp(logits, axis=1)
+    return -_wmean(jnp.where(valid > 0, log_prob, 0.0), valid)
+
+
 def kl_divergence(p_logit: jnp.ndarray, q_logit: jnp.ndarray) -> jnp.ndarray:
     """Mean KL(p||q) from logits (utils.py:117-120)."""
     p = jax.nn.softmax(p_logit, axis=-1)
