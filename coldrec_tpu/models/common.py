@@ -99,6 +99,40 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+def make_train_step_aux(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    """Like make_train_step but loss_fn returns (loss, new_state) where state
+    carries non-trainable buffers (BatchNorm running stats, etc.):
+    ``loss_fn(params, state, batch, *extra) -> (loss, new_state)``.
+    Returns jitted (params, opt_state, state, batch, *extra) ->
+    (params, opt_state, state, loss)."""
+
+    def step(params, opt_state, state, batch, *extra):
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, batch, *extra
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def truncated_normal_init(key, shape, std=0.01, dtype=jnp.float32) -> jnp.ndarray:
+    """Truncated normal in (-2, 2) scaled by std (DropoutNet.py:138-144)."""
+    return jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype) * std
+
+
+def linear_params_tn(key, in_dim: int, out_dim: int, std=0.01) -> Dict:
+    """Linear with truncated-normal weight, zero bias (DropoutNet init_weights)."""
+    return {
+        "w": truncated_normal_init(key, (in_dim, out_dim), std=std),
+        "b": jnp.zeros((out_dim,)),
+    }
+
+
 def dot_scores(user_emb: jnp.ndarray, item_emb: jnp.ndarray) -> Callable:
     """score_fn(user_ids) = U[user_ids] @ I.T, jitted once per table pair."""
 

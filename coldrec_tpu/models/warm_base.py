@@ -31,19 +31,38 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
     """
 
     uses_rng_in_loss = False
+    # stateful=True: the model threads non-trainable buffers (e.g. BatchNorm
+    # running stats) — loss_fn(params, state, batch, key) -> (loss, new_state)
+    # and forward_tables(params, state).
+    stateful = False
 
     def setup_optimizer(self):
         self.optimizer = adam(self.lr)
         self.opt_state = self.optimizer.init(self.params)
-        if self.uses_rng_in_loss:
-            self._step = make_train_step(self.loss_fn, self.optimizer)
-        else:
-            def loss_no_key(params, batch):
-                return self.loss_fn(params, batch, None)
+        if self.stateful:
+            from .common import make_train_step_aux
 
-            self._step = make_train_step(loss_no_key, self.optimizer)
-        self._forward_jit = jax.jit(self.forward_tables)
-        self.user_emb, self.item_emb = self._forward_jit(self.params)
+            if self.uses_rng_in_loss:
+                self._step = make_train_step_aux(self.loss_fn, self.optimizer)
+            else:
+                def loss_no_key(params, state, batch):
+                    return self.loss_fn(params, state, batch, None)
+
+                self._step = make_train_step_aux(loss_no_key, self.optimizer)
+            self._forward_jit = jax.jit(self.forward_tables)
+            self.user_emb, self.item_emb = self._forward_jit(
+                self.params, self.net_state
+            )
+        else:
+            if self.uses_rng_in_loss:
+                self._step = make_train_step(self.loss_fn, self.optimizer)
+            else:
+                def loss_no_key(params, batch):
+                    return self.loss_fn(params, batch, None)
+
+                self._step = make_train_step(loss_no_key, self.optimizer)
+            self._forward_jit = jax.jit(self.forward_tables)
+            self.user_emb, self.item_emb = self._forward_jit(self.params)
         self.best_user_emb, self.best_item_emb = self.user_emb, self.item_emb
         self._score_fn = None
 
@@ -60,16 +79,28 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
     def extra_saved_tensors(self) -> Dict[str, np.ndarray]:
         return {}
 
+    def batches(self):
+        """Per-epoch batch iterator; override for model-specific samplers."""
+        return pairwise_batches(self.data, self.batch_size, self.host_rng)
+
     # ----------------------------------------------------------------- loop
     def train(self):
         self.timer(start=True)
         epoch = -1
         for epoch in range(self.max_epoch):
             self.epoch_hook(epoch)
-            for n, batch in enumerate(
-                pairwise_batches(self.data, self.batch_size, self.host_rng)
-            ):
-                if self.uses_rng_in_loss:
+            for n, batch in enumerate(self.batches()):
+                if self.stateful:
+                    extra = (self.next_key(),) if self.uses_rng_in_loss else ()
+                    (
+                        self.params,
+                        self.opt_state,
+                        self.net_state,
+                        loss,
+                    ) = self._step(
+                        self.params, self.opt_state, self.net_state, batch, *extra
+                    )
+                elif self.uses_rng_in_loss:
                     self.params, self.opt_state, loss = self._step(
                         self.params, self.opt_state, batch, self.next_key()
                     )
@@ -82,7 +113,12 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
                         f"training: {epoch + 1} batch {n} "
                         f"batch_loss: {float(loss):.5f}"
                     )
-            self.user_emb, self.item_emb = self._forward_jit(self.params)
+            if self.stateful:
+                self.user_emb, self.item_emb = self._forward_jit(
+                    self.params, self.net_state
+                )
+            else:
+                self.user_emb, self.item_emb = self._forward_jit(self.params)
             self._score_fn = None
             if epoch % self.eval_every == 0:
                 self.fast_evaluation(epoch, valid_type="all")
