@@ -157,6 +157,80 @@ def warm_item_pool(data: ColdStartDataset) -> np.ndarray:
     return pool
 
 
+def ccfcrec_batches(
+    data: ColdStartDataset,
+    batch_size: int,
+    rng: np.random.Generator,
+    positive_number: int,
+    negative_number: int,
+    self_neg_number: int,
+    pool: Optional[np.ndarray] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """CCFCRec batches (utils.py:237-300): positive pair + negative user +
+    P co-occurring positives (with replacement) + PxN warm negatives +
+    S self-negatives per row."""
+    if pool is None:
+        pool = warm_item_pool(data)
+    # item -> users CSR for negative-user rejection
+    tp = data.train_pairs
+    order = np.lexsort((tp[:, 0], tp[:, 1]))
+    by_item_users = tp[order, 0]
+    counts_i = np.bincount(tp[:, 1], minlength=data.item_num)
+    indptr_i = np.zeros(data.item_num + 1, dtype=np.int64)
+    np.cumsum(counts_i, out=indptr_i[1:])
+    item_keys = (
+        np.repeat(np.arange(data.item_num, dtype=np.int64), counts_i)
+        * (data.user_num + 1)
+        + by_item_users
+    )
+
+    def user_rated_item(users_q, items_q):
+        if item_keys.size == 0:
+            return np.zeros(users_q.shape, dtype=bool)
+        keys = items_q * (data.user_num + 1) + users_q
+        pos = np.minimum(np.searchsorted(item_keys, keys), item_keys.shape[0] - 1)
+        return item_keys[pos] == keys
+
+    perm = rng.permutation(data.n_train)
+    pairs = data.train_pairs[perm]
+    deg = np.diff(data.train_indptr)
+    for start in range(0, data.n_train, batch_size):
+        chunk = pairs[start : start + batch_size]
+        users, items = chunk[:, 0], chunk[:, 1]
+        n = chunk.shape[0]
+        # P positives per row with replacement from the user's train items
+        starts = data.train_indptr[users]
+        cnt = np.maximum(deg[users], 1)
+        r = rng.random((n, positive_number))
+        pos_grid = data.train_items_sorted[
+            starts[:, None] + (r * cnt[:, None]).astype(np.int64)
+        ]
+        # negative user per row (not a rater of the item)
+        neg_users = rng.integers(0, data.n_seen_users, size=n)
+        bad = user_rated_item(neg_users, items)
+        while bad.any():
+            idx = np.where(bad)[0]
+            neg_users[idx] = rng.integers(0, data.n_seen_users, size=idx.shape[0])
+            bad[idx] = user_rated_item(neg_users[idx], items[idx])
+        # PxN negative grid + S self negatives from warm pool minus rated
+        neg_grid = sample_negatives(
+            data, np.repeat(users, negative_number * positive_number),
+            rng, pool=pool,
+        ).reshape(n, positive_number, negative_number)
+        self_negs = sample_negatives(
+            data, np.repeat(users, self_neg_number), rng, pool=pool
+        ).reshape(n, self_neg_number)
+        yield {
+            "user": _pad(users.astype(np.int32), batch_size),
+            "pos_item": _pad(items.astype(np.int32), batch_size),
+            "neg_user": _pad(neg_users.astype(np.int32), batch_size),
+            "pos_grid": _pad(pos_grid.astype(np.int32), batch_size),
+            "neg_grid": _pad(neg_grid.astype(np.int32), batch_size),
+            "self_negs": _pad(self_negs.astype(np.int32), batch_size),
+            "weight": _pad(np.ones(n, np.float32), batch_size, fill=0.0),
+        }
+
+
 def pairwise_batches_multi_neg(
     data: ColdStartDataset,
     batch_size: int,
