@@ -49,6 +49,22 @@ def sample_negatives(
     """
     total = users.shape[0] * n_negs
     u_rep = np.repeat(users, n_negs)
+    # native C++ fast path (same semantics: uniform + rejection)
+    from .. import native
+
+    if native.available():
+        negs = native.sample_negatives_native(
+            data.train_indptr,
+            data.train_items_sorted,
+            u_rep,
+            data.n_seen_items,
+            int(rng.integers(0, 2**63 - 1)),
+            pool=pool,
+        )
+        if negs is not None:
+            if n_negs == 1:
+                return negs
+            return negs.reshape(users.shape[0], n_negs)
     if pool is None:
         negs = rng.integers(0, data.n_seen_items, size=total, dtype=np.int64)
     else:

@@ -1,0 +1,405 @@
+"""USIM RL embedding refinement (reference: model/USIM.py). Item-only.
+
+A content-mapped initial state is nudged toward the (frozen) backbone item
+embedding by a discrete actor that picks warm users (+ an appended stop
+token): ``s += u * rate`` (USIM.py:551-570). Reward = distance-to-item
+improvement + top-10 score alignment with log discount (473-522). PPO-clip
+with target nets, 5 inner epochs (350-409); per batch the buffer is filled
+by 3 rollouts and cleared (844-857) — so optimization always consumes the
+current batch's transitions. Masked action sampling combines
+positive-direction top-k ∧ item-score top-k, random negatives, the stop
+token, and the 20% argmax-exclusion trick (668-759, quirks preserved —
+including the argmax index collapsing to user 0 when not selected).
+Inference = greedy rollout from the content state (524-549); scoring uses
+the frozen backbone user table with warm/cold item columns (594-600,
+unclassified items score 0).
+
+TPU-native restructuring (SURVEY §7 hard part b): rollout + optimize are ONE
+jitted program per batch — rollouts unrolled over max_time (static), the
+replay "buffer" is a stack of per-step transition arrays, and masks are
+stored compressed (sample indices) and rebuilt by one-hot scatter inside the
+PPO step. The reference appends steps only until all envs are done; here all
+max_time steps always run (done envs contribute zero-reward frozen-state
+transitions — documented divergence).
+
+The content_mapper matches the reference exactly in that it is NEVER
+optimized (no optimizer covers it, USIM.py:295-300) — frozen at init.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .cold_base import ColdStartModelBase
+from .common import adam, linear, linear_params
+
+REWARD_TOPK = 10  # hardcoded in the reference (USIM.py:495,504)
+
+
+def _probs(actor, table, state):
+    """[softmax(map(s) @ users.T) * P(continue) ∥ P(stop)] (USIM.py:75-88)."""
+    emb = linear(actor["map"], state)
+    end = jax.nn.softmax(linear(actor["end_map"], state), axis=-1)
+    ap = jax.nn.softmax(emb @ table.T, axis=-1)
+    return jnp.concatenate([ap * end[:, :1], end[:, 1:2]], axis=-1)
+
+
+class USIM(ColdStartModelBase):
+    def __init__(self, config):
+        super().__init__(config)
+        if self.args.cold_object != "item":
+            raise ValueError("USIM only supports item cold-start")
+        d = self.emb_size
+        self.content = self.cold_side_content
+        try:
+            backbone = self.load_backbone()
+            uw, iw = backbone["user_emb"], backbone["item_emb"]
+        except FileNotFoundError:
+            print("USIM: backbone not found — Xavier init fallback")
+            from .common import xavier_uniform
+
+            k1, k2 = jax.random.split(self.next_key())
+            uw = xavier_uniform(k1, (self.data.user_num, d))
+            iw = xavier_uniform(k2, (self.data.item_num, d))
+        self.user_table = uw  # (U, d), frozen; stop token = zero row appended
+        self.item_table = iw
+        self.user_ext = jnp.concatenate([uw, jnp.zeros((1, d))], axis=0)
+        self.n_user = int(self.user_ext.shape[0])  # U + 1 (stop)
+
+        self.max_time = int(self.args.usim_max_time)
+        self.rate = float(self.args.usim_transition_rate)
+        self.k = int(self.args.usim_k)
+        self.weight = float(self.args.usim_reward_weight)
+        self.reward_cost = float(self.args.usim_reward_cost)
+        self.discount = float(self.args.gamma)
+
+        hid = int(self.args.usim_content_hidden)
+        keys = jax.random.split(self.next_key(), 4)
+        self.actor = {
+            "map": linear_params(keys[0], d + 1, d),
+            "end_map": linear_params(keys[1], d + 1, 2),
+        }
+        self.critic = {"fc1": linear_params(keys[2], d + 1, 1)}
+        self.target_actor = jax.tree_util.tree_map(lambda x: x, self.actor)
+        self.target_critic = jax.tree_util.tree_map(lambda x: x, self.critic)
+        self.mapper = {
+            "fc1": linear_params(keys[3], self.content_dim, hid),
+            "fc2": linear_params(jax.random.fold_in(keys[3], 1), hid, d),
+        }
+        self.actor_opt = adam(
+            float(self.args.actor_lr),
+            weight_decay=float(self.args.usim_actor_weight_decay),
+        )
+        self.critic_opt = adam(
+            float(self.args.critic_lr),
+            weight_decay=float(self.args.usim_critic_weight_decay),
+        )
+        self.actor_state = self.actor_opt.init(self.actor)
+        self.critic_state = self.critic_opt.init(self.critic)
+
+        # warm/cold masks for dual-column scoring (USIM.py:594-600)
+        warm = np.zeros(self.data.item_num, np.float32)
+        warm[self.data.mapped_warm_item_idx] = 1.0
+        cold = np.zeros(self.data.item_num, np.float32)
+        cold[self.data.mapped_cold_item_idx] = 1.0
+        self._col_mask = jnp.asarray(np.maximum(warm, cold))
+
+        self._train_step = jax.jit(self._batch_step)
+        self._infer_jit = jax.jit(self._infer)
+        self.params = {}  # trainer contract; RL nets managed above
+        self.user_emb, self.item_emb = self._eval_tables()
+        self.best_user_emb, self.best_item_emb = self.user_emb, self.item_emb
+        self._score_fn = None
+
+    # ------------------------------------------------------------- RL core
+    def _map_content(self, content):
+        return linear(
+            self.mapper["fc2"], jax.nn.relu(linear(self.mapper["fc1"], content))
+        )
+
+    def _reward(self, item_emb, state, action, dones):
+        sim1 = jnp.linalg.norm(item_emb - state, axis=1)
+        user_emb = self.user_ext[action]
+        nxt = state + user_emb * self.rate
+        sim2 = jnp.linalg.norm(item_emb - nxt, axis=1)
+        target_score = item_emb @ self.user_ext.T
+        top_s, idx = jax.lax.top_k(target_score, REWARD_TOPK)
+        st_s = jnp.take_along_axis(state @ self.user_ext.T, idx, axis=1)
+        nx_s = jnp.take_along_axis(nxt @ self.user_ext.T, idx, axis=1)
+        differ = jnp.abs(top_s - st_s) - jnp.abs(top_s - nx_s)
+        discount = jnp.log2(jnp.arange(REWARD_TOPK) + 2.0)
+        differ = differ / discount
+        r1 = self.weight * (sim1 - sim2) + (1 - self.weight) * jnp.mean(
+            differ, axis=-1
+        )
+        return (r1 - self.reward_cost) * (1.0 - dones.astype(jnp.float32))
+
+    def _sample_mask(self, state, item_emb, key, target_actor, state_time):
+        """Masked exploration distribution (USIM.py:668-759). Returns
+        (action, pos_idx, user_idx, neg_idx, masked_argmax)."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        b = state.shape[0]
+        dvec = item_emb - state
+        norms = jnp.maximum(
+            jnp.linalg.norm(self.user_ext, axis=-1, keepdims=True), 1e-12
+        )
+        norm_mat = self.user_ext / norms
+        dn = dvec / jnp.maximum(
+            jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-12
+        )
+        sim = dn @ norm_mat.T  # (B, n_user)
+        state_score = item_emb @ self.user_ext[:-1].T
+        _, topk_user = jax.lax.top_k(state_score, min(self.k, self.n_user - 1))
+        _, pos_idx = jax.lax.top_k(sim, min(self.k, self.n_user))
+        neg = jax.random.randint(k1, (b, self.k), 0, self.n_user - 1)
+        stop_col = jnp.full((b, 1), self.n_user - 1, neg.dtype)
+        neg_idx = jnp.concatenate([neg, stop_col], axis=1)
+
+        def onehot_any(idx):
+            oh = jax.nn.one_hot(idx, self.n_user, dtype=jnp.int32)
+            return jnp.sum(oh, axis=1) >= 1
+
+        oh_pos = onehot_any(pos_idx)
+        oh_user = onehot_any(topk_user)
+        oh_neg = onehot_any(neg_idx)
+        mask = oh_pos & oh_user
+        empty = jnp.sum(mask, axis=-1) == 0
+        mask = jnp.where(empty[:, None], oh_pos, mask)
+        mask = mask | oh_neg
+
+        index_state = jnp.concatenate([state, state_time[:, None]], axis=1)
+        sp = _probs(target_actor, self.user_ext[:-1], index_state)
+        am = jnp.argmax(sp, axis=-1)
+        rand = jax.random.uniform(k2, (b,)) > 0.8
+        masked_am = jnp.where(rand, am, 0)  # reference quirk: collapses to 0
+        mask = mask & ~(
+            jax.nn.one_hot(masked_am, self.n_user, dtype=jnp.int32) >= 1
+        )
+        mp = sp * mask
+        mp = mp / jnp.maximum(jnp.sum(mp, axis=-1, keepdims=True), 1e-12)
+        action = jax.random.categorical(k3, jnp.log(jnp.maximum(mp, 1e-20)))
+        return action, pos_idx, topk_user, neg_idx, masked_am
+
+    @staticmethod
+    def _rebuild_mask(n_user, pos_idx, user_idx, neg_idx, masked_am):
+        def onehot_any(idx):
+            oh = jax.nn.one_hot(idx, n_user, dtype=jnp.int32)
+            return jnp.sum(oh, axis=1) >= 1
+
+        oh_pos = onehot_any(pos_idx)
+        mask = oh_pos & onehot_any(user_idx)
+        empty = jnp.sum(mask, axis=-1) == 0
+        mask = jnp.where(empty[:, None], oh_pos, mask)
+        mask = mask | onehot_any(neg_idx)
+        return mask & ~(jax.nn.one_hot(masked_am, n_user, dtype=jnp.int32) >= 1)
+
+    def _log_probs_masked(self, actor, states, actions, masks):
+        sp = _probs(actor, self.user_ext[:-1], states)
+        mp = sp * masks
+        mp = mp / jnp.maximum(jnp.sum(mp, axis=-1, keepdims=True), 1e-12)
+        lp = jnp.log(
+            jnp.maximum(
+                jnp.take_along_axis(mp, actions[:, None], axis=1)[:, 0], 1e-20
+            )
+        )
+        return lp
+
+    def _batch_step(
+        self, actor, a_state, critic, c_state, target_actor, target_critic,
+        items, valid, key,
+    ):
+        """One jitted USIM batch: 3 rollouts -> PPO(5) -> termination step."""
+        item_emb = self.item_table[items]
+        content = self.content[items]
+        trans = []
+        for r in range(3):
+            key, sub = jax.random.split(key)
+            state = jax.lax.stop_gradient(self._map_content(content))
+            dones = jnp.zeros(items.shape[0], bool)
+            state_time = jnp.full(items.shape[0], float(self.max_time))
+            for t in range(self.max_time):
+                key, sk = jax.random.split(key)
+                action, pos_i, user_i, neg_i, mam = self._sample_mask(
+                    state, item_emb, sk, target_actor, state_time
+                )
+                reward = self._reward(item_emb, state, action, dones)
+                ue = self.user_ext[action] * (1.0 - dones.astype(jnp.float32))[:, None]
+                next_state = state + ue * self.rate
+                dones = dones | (action == self.n_user - 1)
+                idx_state = jnp.concatenate([state, state_time[:, None]], 1)
+                idx_next = jnp.concatenate(
+                    [next_state, (state_time - 1)[:, None]], 1
+                )
+                trans.append(
+                    (idx_state, action, reward, idx_next, dones, pos_i,
+                     user_i, neg_i, mam, valid)
+                )
+                state = next_state
+                state_time = state_time - 1
+
+        stack = lambda i: jnp.concatenate([t[i] for t in trans], axis=0)
+        b_state = stack(0)
+        b_action = stack(1)
+        b_reward = stack(2)
+        b_next = stack(3)
+        b_dones = stack(4).astype(jnp.float32)
+        b_mask = self._rebuild_mask(
+            self.n_user, stack(5), stack(6), stack(7), stack(8)
+        )
+        b_w = stack(9)
+
+        def critic_of(c, s):
+            return linear(c["fc1"], s)[:, 0]
+
+        target_lp = self._log_probs_masked(target_actor, b_state, b_action, b_mask)
+        target_q = b_reward + self.discount * critic_of(
+            target_critic, b_next
+        ) * (1 - b_dones)
+        advantage = target_q - critic_of(target_critic, b_state)
+        target_lp = jax.lax.stop_gradient(target_lp)
+        target_q = jax.lax.stop_gradient(target_q)
+        advantage = jax.lax.stop_gradient(advantage)
+        w_sum = jnp.maximum(jnp.sum(b_w), 1.0)
+
+        def ppo_iter(carry, _):
+            actor, a_state, critic, c_state = carry
+
+            def actor_loss_fn(a):
+                lp = self._log_probs_masked(a, b_state, b_action, b_mask)
+                ratio = jnp.exp(lp - target_lp)
+                surr1 = ratio * advantage
+                surr2 = jnp.clip(ratio, 0.8, 1.2) * advantage
+                return jnp.sum(-jnp.minimum(surr1, surr2) * b_w) / w_sum
+
+            def critic_loss_fn(c):
+                q = critic_of(c, b_state)
+                return jnp.sum((q - target_q) ** 2 * b_w) / w_sum
+
+            ga = jax.grad(actor_loss_fn)(actor)
+            upd, a_state = self.actor_opt.update(ga, a_state, actor)
+            actor = optax.apply_updates(actor, upd)
+            gc = jax.grad(critic_loss_fn)(critic)
+            upd, c_state = self.critic_opt.update(gc, c_state, critic)
+            critic = optax.apply_updates(critic, upd)
+            return (actor, a_state, critic, c_state), None
+
+        (actor, a_state, critic, c_state), _ = jax.lax.scan(
+            ppo_iter, (actor, a_state, critic, c_state), None, length=5
+        )
+
+        # termination-state critic regression (USIM.py:449-455)
+        key, sk = jax.random.split(key)
+        rand_t = jax.random.randint(
+            sk, (items.shape[0],), 0, self.max_time
+        ).astype(jnp.float32)
+        term_state = jnp.concatenate([item_emb, rand_t[:, None]], 1)
+
+        def term_loss_fn(c):
+            q = critic_of(c, term_state)
+            return jnp.sum(q**2 * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+        gc = jax.grad(term_loss_fn)(critic)
+        upd, c_state = self.critic_opt.update(gc, c_state, critic)
+        critic = optax.apply_updates(critic, upd)
+        # hard update
+        return actor, a_state, critic, c_state, actor, critic
+
+    # ------------------------------------------------------------- rollouts
+    def _infer(self, actor, content):
+        """Greedy rollout -> final states (USIM.py:524-549)."""
+        state = self._map_content(content)
+        dones = jnp.zeros(content.shape[0], bool)
+        state_time = jnp.full(content.shape[0], float(self.max_time))
+        for _ in range(self.max_time):
+            idx_state = jnp.concatenate([state, state_time[:, None]], 1)
+            probs = _probs(actor, self.user_ext[:-1], idx_state)
+            action = jnp.argmax(probs, axis=1)
+            ue = self.user_ext[action] * (1.0 - dones.astype(jnp.float32))[:, None]
+            state = state + ue * self.rate
+            dones = dones | (action == self.n_user - 1)
+            state_time = state_time - 1
+        return state
+
+    # ---------------------------------------------------------------- train
+    def batches(self):
+        """One row per warm item with train interactions (USIM.py:791-818)."""
+        items = np.unique(self.data.train_pairs[:, 1])
+        self.host_rng.shuffle(items)
+        bs = self.batch_size
+        for start in range(0, items.shape[0], bs):
+            chunk = items[start : start + bs]
+            n = chunk.shape[0]
+            out_items = np.zeros(bs, np.int32)
+            out_items[:n] = chunk
+            w = np.zeros(bs, np.float32)
+            w[:n] = 1.0
+            yield {"items": out_items, "weight": w}
+
+    def train(self):
+        self.timer(start=True)
+        epoch = -1
+        for epoch in range(self.max_epoch):
+            for n, batch in enumerate(self.batches()):
+                (
+                    self.actor,
+                    self.actor_state,
+                    self.critic,
+                    self.critic_state,
+                    self.target_actor,
+                    self.target_critic,
+                ) = self._train_step(
+                    self.actor,
+                    self.actor_state,
+                    self.critic,
+                    self.critic_state,
+                    self.target_actor,
+                    self.target_critic,
+                    jnp.asarray(batch["items"]),
+                    jnp.asarray(batch["weight"]),
+                    self.next_key(),
+                )
+                if n % 10 == 0:
+                    print(f"USIM training: epoch {epoch + 1} batch {n}")
+            self.user_emb, self.item_emb = self._eval_tables()
+            self._score_fn = None
+            if epoch % self.eval_every == 0:
+                self.fast_evaluation(epoch, valid_type="all")
+                if self.should_stop():
+                    break
+        self.epochs_ran = (epoch + 1) if self.max_epoch > 0 else 0
+        self.timer(start=False)
+        self.user_emb, self.item_emb = self.best_user_emb, self.best_item_emb
+        self._score_fn = None
+        if self.args.save_emb:
+            from ..runtime.checkpoints import save_embeddings
+
+            save_embeddings(
+                self.args.emb_dir, self.dataset_name, self.args.cold_object,
+                self.model_name,
+                {
+                    "user_emb": np.asarray(self.user_emb),
+                    "item_emb": np.asarray(self.item_emb),
+                },
+            )
+
+    def _eval_tables(self):
+        cold = self.cold_idx
+        gen = self._infer_jit(self.actor, self.content[cold])
+        item_emb = self.item_table.at[cold].set(gen)
+        # unclassified item columns score 0 (USIM.py:594-600)
+        item_emb = item_emb * self._col_mask[:, None]
+        return self.user_table, item_emb
+
+    def save(self):
+        self.best_user_emb = self.user_emb
+        self.best_item_emb = self.item_emb
+
+    def loss_fn(self, params, batch, key):  # trainer contract, unused
+        raise NotImplementedError
+
+    def forward_tables(self, params):
+        return self._eval_tables()

@@ -1,0 +1,162 @@
+"""Sharded building blocks: embedding lookup, SpMM, retrieval top-k merge.
+
+These are the multi-chip equivalents of the single-chip ops (SURVEY §2.5):
+
+  * **Row-sharded embedding lookup** — tables live row-sharded over the
+    ``model`` axis; lookups all-gather the d-sliced table over ICI (tables
+    at ColdRec scale are O(10-100 MB) so the all-gather of one batch's rows
+    is cheaper than an id all-to-all; the id-exchange variant can slot in
+    behind the same signature later).
+  * **Sharded SpMM** — adjacency edges are partitioned by destination-row
+    shard (host-side, one-time, padded to equal length); each shard
+    all-gathers the input rows then segment-sums locally. Output rows stay
+    sharded; no psum needed because each shard owns its rows exclusively.
+  * **Sharded retrieval top-k** — each shard scores users against its item
+    rows, takes a local top-k, then all-gathers the k candidates and
+    re-ranks: the classic item-axis-sharded retrieval merge.
+
+All functions are shard_map'ed over a Mesh and reduce to the single-chip
+path on a 1-device mesh.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import AXIS_MODEL
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    """jax.shard_map with replication checking off (all-gather outputs are
+    replicated but not statically inferable)."""
+    try:
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
+def shard_rows(mesh: Mesh, table: jnp.ndarray) -> jnp.ndarray:
+    """Place an (N, d) table row-sharded over the model axis (N % axis == 0
+    required; pad first with pad_rows)."""
+    return jax.device_put(table, NamedSharding(mesh, P(AXIS_MODEL, None)))
+
+
+def pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+
+
+def sharded_lookup(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray):
+    """Gather rows of a row-sharded table; ids replicated, result replicated."""
+
+    def f(local, ids):
+        full = jax.lax.all_gather(local, AXIS_MODEL, tiled=True)
+        return full[ids]
+
+    fm = shard_map(f, mesh, in_specs=(P(AXIS_MODEL, None), P()), out_specs=P())
+    return fm(table, ids)
+
+
+class ShardedGraph:
+    """Edges partitioned by destination-row shard, padded to equal length.
+
+    ``rows``/``cols``/``vals`` have shape (n_shards * per_shard,); the
+    leading axis is sharded so each device holds its own edge block. Padded
+    edges carry val=0 and row=first-local-row, making them no-ops.
+    """
+
+    def __init__(self, mesh: Mesh, host_graph, n_rows_padded: int):
+        n_shards = mesh.shape[AXIS_MODEL] * mesh.shape.get("data", 1)
+        n_model = mesh.shape[AXIS_MODEL]
+        self.mesh = mesh
+        self.n_rows = n_rows_padded
+        assert n_rows_padded % n_model == 0
+        self.rows_per_shard = n_rows_padded // n_model
+        rows, cols, vals = host_graph.rows, host_graph.cols, host_graph.vals
+        shard_of = rows // self.rows_per_shard
+        per = [np.flatnonzero(shard_of == s) for s in range(n_model)]
+        width = max(max((p.size for p in per), default=1), 1)
+        R = np.zeros((n_model, width), np.int32)
+        C = np.zeros((n_model, width), np.int32)
+        V = np.zeros((n_model, width), np.float32)
+        for s, idx in enumerate(per):
+            R[s, : idx.size] = rows[idx]
+            C[s, : idx.size] = cols[idx]
+            V[s, : idx.size] = vals[idx]
+            R[s, idx.size :] = s * self.rows_per_shard  # no-op rows (val 0)
+        sh = NamedSharding(mesh, P(AXIS_MODEL, None))
+        self.rows_s = jax.device_put(jnp.asarray(R), sh)
+        self.cols_s = jax.device_put(jnp.asarray(C), sh)
+        self.vals_s = jax.device_put(jnp.asarray(V), sh)
+
+
+def sharded_spmm(graph: ShardedGraph, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ x with A row-sharded by ShardedGraph and x row-sharded. Output
+    rows stay sharded over the model axis."""
+    mesh = graph.mesh
+    rps = graph.rows_per_shard
+
+    def f(rows_l, cols_l, vals_l, x_local):
+        x_full = jax.lax.all_gather(x_local, AXIS_MODEL, tiled=True)
+        shard_id = jax.lax.axis_index(AXIS_MODEL)
+        local_rows = rows_l[0] - shard_id * rps
+        gathered = x_full[cols_l[0]] * vals_l[0][:, None]
+        return jax.ops.segment_sum(gathered, local_rows, num_segments=rps)
+
+    fm = shard_map(
+        f, mesh,
+        in_specs=(
+            P(AXIS_MODEL, None), P(AXIS_MODEL, None),
+            P(AXIS_MODEL, None), P(AXIS_MODEL, None),
+        ),
+        out_specs=P(AXIS_MODEL, None),
+    )
+    return fm(graph.rows_s, graph.cols_s, graph.vals_s, x)
+
+
+def sharded_masked_topk(
+    mesh: Mesh,
+    user_emb: jnp.ndarray,  # (B, d) replicated
+    item_emb: jnp.ndarray,  # (I, d) row-sharded over model (I % axis == 0)
+    excluded: jnp.ndarray,  # (I,) bool sharded over model
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Item-axis-sharded retrieval: local score+top-k per shard, all-gather
+    the k candidates, global re-rank. Returns replicated (vals, ids)."""
+    n_model = mesh.shape[AXIS_MODEL]
+    items_per = item_emb.shape[0] // n_model
+
+    def f(u, items_l, excl_l):
+        shard_id = jax.lax.axis_index(AXIS_MODEL)
+        scores = u @ items_l.T  # (B, I/shards)
+        scores = jnp.where(excl_l[None, :], -10e8, scores)
+        lv, li = jax.lax.top_k(scores, min(k, items_l.shape[0]))
+        li = li + shard_id * items_per
+        av = jax.lax.all_gather(lv, AXIS_MODEL, axis=1, tiled=True)
+        ai = jax.lax.all_gather(li, AXIS_MODEL, axis=1, tiled=True)
+        gv, gpos = jax.lax.top_k(av, k)
+        gi = jnp.take_along_axis(ai, gpos, axis=1)
+        return gv, gi
+
+    fm = shard_map(
+        f, mesh,
+        in_specs=(P(), P(AXIS_MODEL, None), P(AXIS_MODEL)),
+        out_specs=(P(), P()),
+    )
+    return fm(user_emb, item_emb, excluded)
