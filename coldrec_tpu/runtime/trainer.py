@@ -92,6 +92,17 @@ class BaseColdStartTrainer(ABC):
         seed = int(getattr(self.args, "seed", 2024))
         self.host_rng = np.random.default_rng(seed)
         self.rng_key = jax.random.PRNGKey(seed)
+        from ..utils.logging import event_log
+
+        self.events = event_log()
+        self.events.emit(
+            "run_start",
+            model=self.model_name,
+            dataset=self.dataset_name,
+            cold_object=self.args.cold_object,
+            emb_size=self.emb_size,
+            seed=seed,
+        )
 
     # ------------------------------------------------------------- contract
     @abstractmethod
@@ -178,6 +189,12 @@ class BaseColdStartTrainer(ABC):
         performance: Dict[str, float] = dict(zip(_METRIC_NAMES, perf[0]))
         finite = all(math.isfinite(v) for v in performance.values())
 
+        self.events.emit(
+            "validation",
+            epoch=epoch + 1,
+            setting=valid_type,
+            **{k.replace(" ", "_").lower(): v for k, v in performance.items()},
+        )
         if self.best_performance:
             if not finite:
                 if self.early_stop_flag:
@@ -235,3 +252,12 @@ class BaseColdStartTrainer(ABC):
             print(f"Testing under [{test_type}] setting...")
             rec = self.test(test_type=test_type)
             self.full_evaluation(rec, test_type=test_type)
+        self.events.emit(
+            "run_end",
+            model=self.model_name,
+            epochs_ran=self.epochs_ran,
+            train_seconds=round(self.train_end_time - self.train_start_time, 3),
+            overall=self.overall_test_results,
+            cold=self.cold_test_results,
+            warm=self.warm_test_results,
+        )

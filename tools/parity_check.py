@@ -1,0 +1,178 @@
+"""Parity harness: PyTorch reference vs coldrec_tpu on one shared dataset.
+
+The BASELINE north star is cold/warm/overall Recall@20 & NDCG@20 parity with
+the reference within run-to-run variance. The reference publishes no numbers
+(BASELINE.md), so this harness measures them: it writes one synthetic
+dataset in the reference's file layout, runs the UNMODIFIED reference
+(subprocess, cwd = sandbox, PYTHONPATH = /root/reference) and our CLI on the
+same files, and diffs the result-file JSON blocks.
+
+Usage:
+  python tools/parity_check.py [--model MF] [--epochs 30] [--runs 2]
+                               [--scale small|ml]
+
+Writes PARITY_<model>.json next to this script and prints a verdict.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE = "/root/reference"
+
+SCALES = {
+    "small": dict(n_users=300, n_items=250, n_inter=8000, content_dim=16),
+    "medium": dict(n_users=1200, n_items=900, n_inter=60000, content_dim=32),
+    "ml": dict(n_users=6040, n_items=3706, n_inter=400000, content_dim=64),
+}
+
+
+def build_dataset(root: str, scale: str, seed: int = 11):
+    from coldrec_tpu.data.split import cold_start_split, write_split_dir
+    from coldrec_tpu.data.synthetic import synthetic_interactions
+
+    cfg = SCALES[scale]
+    pairs = synthetic_interactions(
+        cfg["n_users"], cfg["n_items"], cfg["n_inter"], seed=seed
+    )
+    res = cold_start_split(pairs, cold_object="item", seed=seed + 42)
+    data_dir = os.path.join(root, "data")
+    write_split_dir(res, data_dir, "parity", "item")
+    rng = np.random.default_rng(seed + 1)
+    np.save(
+        os.path.join(data_dir, "parity", "parity_item_content.npy"),
+        rng.standard_normal((res.item_num, cfg["content_dim"])).astype(
+            np.float32
+        ),
+    )
+    # raw csv for completeness
+    with open(os.path.join(data_dir, "parity", "parity.csv"), "w") as f:
+        f.write("user,item\n")
+        np.savetxt(f, pairs, fmt="%d", delimiter=",")
+    return res
+
+
+def run_reference(root: str, model: str, epochs: int, runs: int, extra=()):
+    """Run the unmodified reference CLI in a sandbox cwd."""
+    os.makedirs(os.path.join(root, "emb"), exist_ok=True)
+    # stub modules the reference imports at module scope but that the image
+    # doesn't ship (faiss — used only by KNN/NCL, not the models under test)
+    shim = os.path.join(root, "_shims")
+    os.makedirs(shim, exist_ok=True)
+    with open(os.path.join(shim, "faiss.py"), "w") as f:
+        f.write(
+            "class _Missing:\n"
+            "    def __init__(self, *a, **k):\n"
+            "        raise ImportError('faiss not available in this image')\n"
+            "IndexFlatIP = Kmeans = _Missing\n"
+        )
+    result_file = os.path.join(root, "ref_result.txt")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REFERENCE + os.pathsep + shim
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep torch off any accelerator
+    cmd = [
+        sys.executable, os.path.join(REFERENCE, "main.py"),
+        "--dataset", "parity", "--model", model, "--cold_object", "item",
+        "--epochs", str(epochs), "--runs", str(runs),
+        "--use_gpu", "false", "--result_file", result_file,
+        "--result_overwrite", *extra,
+    ]
+    print("[reference]", " ".join(cmd))
+    subprocess.run(cmd, cwd=root, env=env, check=True)
+    return parse_result_json(result_file)
+
+
+def run_ours(root: str, model: str, epochs: int, runs: int, extra_args=None):
+    from coldrec_tpu.config import default_args
+    import main as cli_main
+
+    result_file = os.path.join(root, "tpu_result.txt")
+    kwargs = dict(
+        model=model, dataset="parity", cold_object="item",
+        data_dir=os.path.join(root, "data"),
+        emb_dir=os.path.join(root, "emb"),
+        epochs=epochs, runs=runs, result_file=result_file,
+        result_overwrite=True,
+    )
+    if extra_args:
+        kwargs.update(extra_args)
+    args = default_args(**kwargs)
+    print(f"[coldrec_tpu] model={model} epochs={epochs} runs={runs}")
+    return cli_main.run(args)
+
+
+def parse_result_json(path: str) -> dict:
+    text = open(path).read()
+    blob = text.split("--- JSON (machine-readable) ---")[-1]
+    return json.loads(blob)
+
+
+def compare(ref: dict, ours: dict, top_n="20") -> dict:
+    out = {"top_n": top_n, "metrics": {}, "pass": True}
+    for setting in ("all", "cold", "warm"):
+        for metric in ("Recall", "NDCG"):
+            r = ref["metrics"][top_n][setting][metric]
+            o = ours["metrics"][top_n][setting][metric]
+            # tolerance: 3x the pooled run std + 0.02 absolute floor
+            tol = 3.0 * max(r["std"], o["std"]) + 0.02
+            diff = abs(r["mean"] - o["mean"])
+            ok = diff <= tol
+            out["metrics"][f"{setting}.{metric}@{top_n}"] = {
+                "reference": round(r["mean"], 5),
+                "coldrec_tpu": round(o["mean"], 5),
+                "diff": round(diff, 5),
+                "tolerance": round(tol, 5),
+                "pass": ok,
+            }
+            out["pass"] &= ok
+    out["efficiency"] = {
+        "reference_s_per_epoch": ref["efficiency"][
+            "seconds_per_completed_epoch_mean"
+        ],
+        "coldrec_tpu_s_per_epoch": ours["efficiency"][
+            "seconds_per_completed_epoch_mean"
+        ],
+    }
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="MF")
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--runs", type=int, default=2)
+    p.add_argument("--scale", default="small", choices=list(SCALES))
+    p.add_argument("--keep", action="store_true")
+    args = p.parse_args()
+
+    root = tempfile.mkdtemp(prefix="parity_")
+    print(f"sandbox: {root}")
+    build_dataset(root, args.scale)
+    ref = run_reference(root, args.model, args.epochs, args.runs)
+    ours = run_ours(root, args.model, args.epochs, args.runs)
+    verdict = compare(ref, ours)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"PARITY_{args.model}.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(verdict, f, indent=2)
+    print(json.dumps(verdict, indent=2))
+    print("PARITY:", "PASS" if verdict["pass"] else "FAIL", "->", out_path)
+    if not args.keep:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    return 0 if verdict["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
