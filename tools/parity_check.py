@@ -156,6 +156,13 @@ def main():
     root = tempfile.mkdtemp(prefix="parity_")
     print(f"sandbox: {root}")
     build_dataset(root, args.scale)
+    if args.model not in ("MF", "LightGCN", "NGCF", "SimGCL", "XSimGCL",
+                          "DUIF", "FSGNN", "CGRC"):
+        # cold models load the MF backbone from each framework's own bus:
+        # train it once per side in the same sandbox
+        print("== pre-training MF backbone on both sides ==")
+        run_reference(root, "MF", args.epochs, 1)
+        run_ours(root, "MF", args.epochs, 1)
     ref = run_reference(root, args.model, args.epochs, args.runs)
     ours = run_ours(root, args.model, args.epochs, args.runs)
     verdict = compare(ref, ours)
