@@ -83,10 +83,16 @@ def bench_jax(user_emb, item_emb, rated, excluded) -> float:
 
 
 def bench_torch_baseline(user_emb, item_emb, rated, excluded) -> float:
-    """The reference's eval path (torch matmul + masking + topk) on host CPU."""
+    """The reference's eval path (torch matmul + masking + topk) on host CPU.
+
+    Best of 3 measurements (the 4-core host is shared; best-case favours the
+    baseline, keeping the reported ratio conservative).
+    """
+    import os
+
     import torch
 
-    torch.set_num_threads(max(1, torch.get_num_threads()))
+    torch.set_num_threads(os.cpu_count() or 4)
     ue = torch.from_numpy(user_emb)
     ie = torch.from_numpy(item_emb)
     exc_idx = torch.from_numpy(np.where(excluded)[0])
@@ -106,13 +112,15 @@ def bench_torch_baseline(user_emb, item_emb, rated, excluded) -> float:
 
     # warmup
     sweep_chunk(0)
-    t0 = time.perf_counter()
-    done = 0
-    while done < n_bench_users:
-        sweep_chunk(done)
-        done += BATCH
-    dt = time.perf_counter() - t0
-    return (done * N_ITEMS) / dt
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        done = 0
+        while done < n_bench_users:
+            sweep_chunk(done)
+            done += BATCH
+        best = min(best, time.perf_counter() - t0)
+    return (done * N_ITEMS) / best
 
 
 def main():

@@ -19,3 +19,30 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (survives processes/rounds).
+
+    The TPU tunnel in this environment compiles remotely; large eval
+    programs can take minutes on first compile. The on-disk cache turns
+    that into a one-time cost. Opt out with COLDREC_NO_COMP_CACHE=1.
+    """
+    if _os.environ.get("COLDREC_NO_COMP_CACHE"):
+        return
+    cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"),
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

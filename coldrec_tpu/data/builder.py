@@ -375,12 +375,20 @@ class ColdStartDataset:
         widened by one dummy column reproduces the reference's per-user rated
         masking (BaseRecommender.py:175-177) with a static shape.
         """
+        eval_users = np.asarray(eval_users, dtype=np.int64)
         n = eval_users.shape[0]
         width = max(self.max_rated, 1)
         out = np.full((n, width), self.item_num, dtype=np.int32)
-        for k, u in enumerate(eval_users):
-            items = self.user_rated_slice(int(u))
-            out[k, : items.shape[0]] = items
+        starts = self.train_indptr[eval_users]
+        counts = self.train_indptr[eval_users + 1] - starts
+        total = int(counts.sum())
+        if total:
+            rows = np.repeat(np.arange(n), counts)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            flat = self.train_items_sorted[np.repeat(starts, counts) + within]
+            out[rows, within] = flat
         return out
 
     def candidate_mask(self, cold_object: str, data_type: str) -> Optional[np.ndarray]:

@@ -133,12 +133,21 @@ def linear_params_tn(key, in_dim: int, out_dim: int, std=0.01) -> Dict:
     }
 
 
-def dot_scores(user_emb: jnp.ndarray, item_emb: jnp.ndarray) -> Callable:
-    """score_fn(user_ids) = U[user_ids] @ I.T, jitted once per table pair."""
+@jax.jit
+def _dot_score(user_emb, item_emb, users):
+    return user_emb[users] @ item_emb.T
 
-    @jax.jit
+
+def dot_scores(user_emb: jnp.ndarray, item_emb: jnp.ndarray) -> Callable:
+    """score_fn(user_ids) = U[user_ids] @ I.T.
+
+    Tables are arguments of one module-level jitted function, so new tables
+    each epoch reuse the same compiled program (a per-epoch ``jax.jit``
+    closure would recompile every epoch — minutes over the TPU tunnel).
+    """
+
     def score(users):
-        return user_emb[users] @ item_emb.T
+        return _dot_score(user_emb, item_emb, users)
 
     return score
 
