@@ -296,22 +296,19 @@ class ColdStartDataset:
         """Vectorized membership test: did user u rate item i in training?"""
         uids = np.asarray(uids, dtype=np.int64)
         iids = np.asarray(iids, dtype=np.int64)
-        start = self.train_indptr[uids]
-        end = self.train_indptr[uids + 1]
-        # searchsorted inside each user's sorted item run
-        pos = np.empty_like(uids)
-        # global searchsorted trick: offset items into disjoint per-user key spaces
-        # is O(n log E) but needs the global sorted key array; build once.
+        # global searchsorted: offset items into disjoint per-user key spaces;
+        # O(n log E) using one sorted key array built once.
         if not hasattr(self, "_train_keys"):
             rows = np.repeat(
                 np.arange(self.user_num), np.diff(self.train_indptr)
             ).astype(np.int64)
             self._train_keys = rows * (self.item_num + 1) + self.train_items_sorted
-        keys = uids * (self.item_num + 1) + iids
-        pos = np.searchsorted(self._train_keys, keys)
-        pos = np.minimum(pos, self._train_keys.shape[0] - 1) if self._train_keys.size else pos
         if self._train_keys.size == 0:
             return np.zeros(uids.shape, dtype=bool)
+        keys = uids * (self.item_num + 1) + iids
+        pos = np.minimum(
+            np.searchsorted(self._train_keys, keys), self._train_keys.shape[0] - 1
+        )
         return self._train_keys[pos] == keys
 
     # ---------------------------------------------------------------- graphs

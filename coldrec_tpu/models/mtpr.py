@@ -93,8 +93,6 @@ class MTPR(ColdStartModelBase):
 
         # under item cold-start the user side is always factual; the
         # counterfactual flag flips the item representation (and vice versa)
-        pred_f = lambda i, n: self._pred(params, uid, i, True, True)
-        pred_z = lambda i, n: self._pred(params, uid, i, False, False)
         loss = (
             bpr(self._pred(params, uid, iid, True, True),
                 self._pred(params, uid, nid, True, True))  # ii

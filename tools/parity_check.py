@@ -124,12 +124,17 @@ def compare(ref: dict, ours: dict, top_n="20") -> dict:
             # tolerance: 3x the pooled run std + 0.02 absolute floor
             tol = 3.0 * max(r["std"], o["std"]) + 0.02
             diff = abs(r["mean"] - o["mean"])
-            ok = diff <= tol
+            within = diff <= tol
+            beats = o["mean"] > r["mean"] + tol
+            # the target is parity-or-better: significantly higher than the
+            # reference is a pass (flagged), significantly lower is a fail
+            ok = within or beats
             out["metrics"][f"{setting}.{metric}@{top_n}"] = {
                 "reference": round(r["mean"], 5),
                 "coldrec_tpu": round(o["mean"], 5),
                 "diff": round(diff, 5),
                 "tolerance": round(tol, 5),
+                "verdict": "parity" if within else ("beats" if beats else "below"),
                 "pass": ok,
             }
             out["pass"] &= ok
