@@ -111,20 +111,22 @@ class VBPR(ColdStartModelBase):
 
     def save(self):
         super().save()
-        self.best_params = self.params  # immutable jnp arrays: reference copy
-
-    def extra_saved_tensors(self):
-        p = getattr(self, "best_params", self.params)
+        # materialize to host NOW: the params buffers are donated (deleted)
+        # by the next train step, so holding references would dangle
+        p = self.params
         if self.args.cold_object == "item":
             aux_u = np.asarray(p["PQ2"])
             aux_i = np.asarray(self.content[: self.data.item_num] @ p["W"])
         else:
             aux_u = np.asarray(self.content[: self.data.user_num] @ p["W"])
             aux_i = np.asarray(p["PQ2"])
-        return {
+        self._best_extra = {
             "user_emb_main_P": np.asarray(p["P"]),
             "item_emb_main_Q": np.asarray(p["Q"]),
             "user_emb_aux": aux_u,
             "item_emb_aux": aux_i,
             "W": np.asarray(p["W"]),
         }
+
+    def extra_saved_tensors(self):
+        return getattr(self, "_best_extra", {})

@@ -50,6 +50,26 @@ def test_vbpr_then_amr(env):
     _run(data, emb_dir, "AMR", save_emb=False)
 
 
+def test_vbpr_save_survives_donation(env):
+    """save() must materialize tensors: params buffers are donated (deleted)
+    by the next train step (regression for a dangling-buffer crash)."""
+    data, emb_dir = env
+    from coldrec_tpu.data.sampler import pairwise_batches
+
+    args = default_args(
+        model="VBPR", dataset="synth", epochs=1, bs=256, emb_size=16,
+        early_stop=5, emb_dir=emb_dir, seed=9, save_emb=False,
+    )
+    model = model_factory(Config(args, data))
+    model.save()
+    batch = next(pairwise_batches(data, 256, model.host_rng))
+    model.params, model.opt_state, _ = model._step(
+        model.params, model.opt_state, batch
+    )
+    tensors = model.extra_saved_tensors()  # must not raise
+    assert tensors["W"].shape == (10, 16)
+
+
 def test_mtpr(env):
     data, emb_dir = env
     model = _run(data, emb_dir, "MTPR", save_emb=False)
