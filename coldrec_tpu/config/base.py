@@ -33,6 +33,8 @@ COMMON_DEFAULTS = dict(
     result_log="history.txt",
     result_file="",
     result_overwrite=False,
+    # mid-training checkpoint/resume (framework addition; empty = off)
+    state_ckpt="",
 )
 
 

@@ -83,11 +83,64 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
         """Per-epoch batch iterator; override for model-specific samplers."""
         return pairwise_batches(self.data, self.batch_size, self.host_rng)
 
+    # ------------------------------------------------------------- resume
+    def _ckpt_path(self) -> str:
+        return str(getattr(self.args, "state_ckpt", "") or "")
+
+    def _save_train_state(self, epoch: int):
+        from ..runtime.checkpoints import save_train_state
+
+        state = {
+            "epoch": epoch,
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "net_state": getattr(self, "net_state", None),
+            "rng_key": self.rng_key,
+            "host_rng_state": self.host_rng.bit_generator.state,
+            "best_user_emb": self.best_user_emb,
+            "best_item_emb": self.best_item_emb,
+            "best_performance": self.best_performance,
+            "early_stop_patience": getattr(self, "early_stop_patience", None),
+        }
+        save_train_state(self._ckpt_path(), state)
+
+    def _try_resume(self) -> int:
+        """Restore mid-training state; returns the epoch to resume from."""
+        from ..runtime.checkpoints import load_train_state
+
+        path = self._ckpt_path()
+        if not path:
+            return 0
+        state = load_train_state(path)
+        if state is None:
+            return 0
+        import jax.numpy as jnp
+
+        self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        self.opt_state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if hasattr(x, "shape") else x,
+            state["opt_state"],
+        )
+        if state.get("net_state") is not None:
+            self.net_state = jax.tree_util.tree_map(
+                jnp.asarray, state["net_state"]
+            )
+        self.rng_key = jnp.asarray(state["rng_key"])
+        self.host_rng.bit_generator.state = state["host_rng_state"]
+        self.best_user_emb = jnp.asarray(state["best_user_emb"])
+        self.best_item_emb = jnp.asarray(state["best_item_emb"])
+        self.best_performance = state["best_performance"]
+        if state.get("early_stop_patience") is not None and self.early_stop_flag:
+            self.early_stop_patience = state["early_stop_patience"]
+        print(f"resumed training state from {path} at epoch {state['epoch'] + 1}")
+        return int(state["epoch"]) + 1
+
     # ----------------------------------------------------------------- loop
     def train(self):
         self.timer(start=True)
-        epoch = -1
-        for epoch in range(self.max_epoch):
+        start_epoch = self._try_resume()
+        epoch = start_epoch - 1
+        for epoch in range(start_epoch, self.max_epoch):
             self.epoch_hook(epoch)
             for n, batch in enumerate(self.batches()):
                 if self.stateful:
@@ -124,6 +177,8 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
                 self.fast_evaluation(epoch, valid_type="all")
                 if self.should_stop():
                     break
+            if self._ckpt_path():
+                self._save_train_state(epoch)
         self.epochs_ran = (epoch + 1) if self.max_epoch > 0 else 0
         self.timer(start=False)
         self.user_emb, self.item_emb = self.best_user_emb, self.best_item_emb

@@ -18,6 +18,39 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def save_train_state(path: str, state: Dict) -> str:
+    """Mid-training checkpoint (params, opt state, RNG, early-stop state).
+
+    The reference has NO mid-training resume (SURVEY §5.4); this is the
+    framework's preemption-recovery story. Device arrays are materialized to
+    host; atomic rename so a preemption mid-write never corrupts the file.
+    """
+    import pickle
+
+    import jax
+
+    host_state = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x, state
+    )
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(host_state, f, protocol=4)
+    os.replace(tmp, path)
+    return path
+
+
+def load_train_state(path: str) -> Optional[Dict]:
+    import pickle
+
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def _path(emb_dir: str, dataset: str, cold_object: str, model: str) -> str:
     return os.path.join(emb_dir, f"{dataset}_cold_{cold_object}_{model}_emb.npz")
 

@@ -168,6 +168,11 @@ def main():
         print("== pre-training MF backbone on both sides ==")
         run_reference(root, "MF", args.epochs, 1)
         run_ours(root, "MF", args.epochs, 1)
+    if args.model == "AMR":
+        # AMR consumes VBPR's saved tensors (AMR.py:94-124)
+        print("== pre-training VBPR on both sides ==")
+        run_reference(root, "VBPR", args.epochs, 1)
+        run_ours(root, "VBPR", args.epochs, 1)
     ref = run_reference(root, args.model, args.epochs, args.runs)
     ours = run_ours(root, args.model, args.epochs, args.runs)
     verdict = compare(ref, ours)
