@@ -34,7 +34,7 @@ import scipy.sparse as sp
 
 from ..data.builder import SparseGraphHost
 from ..ops.losses import l2_reg_loss
-from ..ops.spmm import SparseGraph, spmm
+from ..ops.spmm import SparseGraph, make_sym_spmm, spmm
 from .cold_base import ColdStartModelBase
 from .common import linear, linear_params, xavier_uniform
 
@@ -82,7 +82,7 @@ class CGRC(ColdStartModelBase):
             jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(edge_item)
         )
         self.n_nodes = n_u + n_i
-        self.full_graph = SparseGraph.from_host(self.data.norm_adj)
+        self.full_graph = make_sym_spmm(self.data.norm_adj)
         # eligible items (>=1 training interaction) as a dense mask
         elig = np.zeros(n_i, bool)
         elig[np.unique(tp[:, 1])] = True

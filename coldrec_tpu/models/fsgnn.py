@@ -23,7 +23,7 @@ import scipy.sparse as sp
 
 from ..data.builder import SparseGraphHost
 from ..ops.losses import bpr_loss, l2_reg_loss
-from ..ops.spmm import SparseGraph, spmm
+from ..ops.spmm import SparseGraph, make_sym_spmm, spmm
 from .cold_base import ColdStartModelBase
 from .common import dropout, linear, linear_params, make_train_step, xavier_uniform
 
@@ -192,16 +192,16 @@ class FSGNN(ColdStartModelBase):
             (a_uu, a_ii), format="csr"
         )
         merged = merged.maximum(merged.T)
-        self.adj_complete = SparseGraph.from_host(
+        self.adj_complete = make_sym_spmm(
             SparseGraphHost.from_scipy(_sym_norm(merged))
         )
-        self.adj_train = SparseGraph.from_host(self.data.norm_adj)
-        self.adj_uu = SparseGraph.from_host(
+        self.adj_train = make_sym_spmm(self.data.norm_adj)
+        self.adj_uu = make_sym_spmm(
             SparseGraphHost.from_scipy(
                 _sym_norm(a_uu + sp.eye(nu, format="csr", dtype=np.float32))
             )
         )
-        self.adj_ii = SparseGraph.from_host(
+        self.adj_ii = make_sym_spmm(
             SparseGraphHost.from_scipy(
                 _sym_norm(a_ii + sp.eye(ni, format="csr", dtype=np.float32))
             )

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..ops.knn import knn_inner_product
 from ..ops.losses import bpr_loss, l2_reg_loss
-from ..ops.spmm import SparseGraph
+from ..ops.spmm import make_sym_spmm
 from .cold_base import ColdStartModelBase
 from .common import xavier_uniform
 from .lightgcn import lightgcn_propagate
@@ -24,7 +24,7 @@ class KNN(ColdStartModelBase):
         super().__init__(config)
         self.use_gcn = self.args.backbone != "MF"
         if self.use_gcn:
-            self.graph = SparseGraph.from_host(self.data.norm_adj)
+            self.graph = make_sym_spmm(self.data.norm_adj)
             self.n_layers = int(self.args.layers)
         self.knn_num = int(self.args.knn_num)
         k1, k2 = jax.random.split(self.next_key())

@@ -42,8 +42,13 @@ class SparseGraph(NamedTuple):
         return cls.from_host(SparseGraphHost.from_scipy(mat))
 
 
-def spmm(graph: SparseGraph, x: jnp.ndarray) -> jnp.ndarray:
-    """A @ x for COO A with row-sorted indices. x: (n_cols, d)."""
+def spmm(graph, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ x. Dispatches on representation: a callable (make_sym_spmm
+    closure), an EllGraph, or a row-sorted COO SparseGraph."""
+    if callable(graph):
+        return graph(x)
+    if isinstance(graph, EllGraph):
+        return _ell_apply(graph, x)
     gathered = x[graph.cols] * graph.vals[:, None]
     return jax.ops.segment_sum(
         gathered,
@@ -51,6 +56,86 @@ def spmm(graph: SparseGraph, x: jnp.ndarray) -> jnp.ndarray:
         num_segments=graph.n_rows,
         indices_are_sorted=True,
     )
+
+
+class EllGraph(NamedTuple):
+    """Hybrid ELL + COO-tail layout for symmetric propagation matrices.
+
+    Rows are padded to a fixed width K (95th-percentile degree by default):
+    the ELL part computes A@X as a regular gather + weighted sum over K —
+    no scatter. Overflow edges (heavy rows) go through the sorted-COO tail.
+    On TPU this is ~1.7x faster than pure segment_sum for LightGCN-family
+    adjacencies (scatter-add is the bottleneck; see PERF.md).
+    """
+
+    ell_cols: jnp.ndarray  # (N, K) int32, pad col = 0
+    ell_vals: jnp.ndarray  # (N, K) float32, pad val = 0
+    tail_rows: jnp.ndarray  # (T,) int32, sorted
+    tail_cols: jnp.ndarray
+    tail_vals: jnp.ndarray
+    n_rows: int
+
+
+def build_ell(host, k_percentile: float = 95.0) -> EllGraph:
+    """Partition a row-sorted host COO graph into ELL + tail."""
+    n = int(host.shape[0])
+    deg = np.bincount(host.rows, minlength=n)
+    k = int(np.percentile(deg, k_percentile)) if deg.size else 1
+    k = max(8, ((k + 7) // 8) * 8)
+    ell_cols = np.zeros((n, k), np.int32)
+    ell_vals = np.zeros((n, k), np.float32)
+    within = np.concatenate([np.arange(c) for c in deg]) if deg.sum() else np.zeros(0, np.int64)
+    in_ell = within < k
+    r_ell = host.rows[in_ell]
+    ell_cols[r_ell, within[in_ell]] = host.cols[in_ell]
+    ell_vals[r_ell, within[in_ell]] = host.vals[in_ell]
+    tail = ~in_ell
+    return EllGraph(
+        ell_cols=jnp.asarray(ell_cols),
+        ell_vals=jnp.asarray(ell_vals),
+        tail_rows=jnp.asarray(host.rows[tail]),
+        tail_cols=jnp.asarray(host.cols[tail]),
+        tail_vals=jnp.asarray(host.vals[tail]),
+        n_rows=n,
+    )
+
+
+def _ell_apply(graph: EllGraph, x: jnp.ndarray) -> jnp.ndarray:
+    gathered = x[graph.ell_cols]  # (N, K, d)
+    out = jnp.einsum("nk,nkd->nd", graph.ell_vals, gathered)
+    if graph.tail_rows.shape[0]:
+        out = out + jax.ops.segment_sum(
+            x[graph.tail_cols] * graph.tail_vals[:, None],
+            graph.tail_rows,
+            num_segments=graph.n_rows,
+            indices_are_sorted=True,
+        )
+    return out
+
+
+def make_sym_spmm(host_or_ell):
+    """f(x) = A @ x for SYMMETRIC A with a custom VJP that reuses the
+    forward (A = A^T -> dX = A @ g), avoiding autodiff's scatter-add of the
+    gather. The closure captures the graph as constants (not differentiated).
+    """
+    graph = (
+        host_or_ell
+        if isinstance(host_or_ell, EllGraph)
+        else build_ell(host_or_ell)
+    )
+
+    @jax.custom_vjp
+    def f(x):
+        return _ell_apply(graph, x)
+
+    def fwd(x):
+        return _ell_apply(graph, x), None
+
+    def bwd(_, g):
+        return (_ell_apply(graph, g),)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def spmm_ref(host, x: np.ndarray) -> np.ndarray:

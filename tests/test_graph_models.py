@@ -26,6 +26,30 @@ def test_spmm_matches_scipy(data, rng):
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
 
 
+def test_ell_spmm_matches_scipy(data, rng):
+    """Hybrid ELL + symmetric-VJP path == scipy, incl. the gradient."""
+    import jax
+    from coldrec_tpu.ops.spmm import build_ell, make_sym_spmm
+
+    host = data.norm_adj
+    x = rng.standard_normal((host.shape[1], 8)).astype(np.float32)
+    f = make_sym_spmm(host)
+    got = np.asarray(f(jnp.array(x)))
+    expect = spmm_ref(host, x)
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+    # tail actually exercised (95th percentile cut leaves heavy rows)
+    ell = build_ell(host)
+    assert ell.tail_rows.shape[0] > 0
+    # symmetric custom VJP == autodiff through the segment-sum path
+    g_sym = jax.grad(lambda x: float(0) + jnp.sum(f(x) ** 2))(jnp.array(x))
+    g_ref = jax.grad(
+        lambda x: jnp.sum(spmm(SparseGraph.from_host(host), x) ** 2)
+    )(jnp.array(x))
+    np.testing.assert_allclose(
+        np.asarray(g_sym), np.asarray(g_ref), rtol=1e-3, atol=1e-4
+    )
+
+
 def test_lightgcn_propagation_matches_dense(data, rng):
     from coldrec_tpu.models.lightgcn import lightgcn_propagate
     import scipy.sparse as sp
