@@ -35,6 +35,10 @@ COMMON_DEFAULTS = dict(
     result_overwrite=False,
     # mid-training checkpoint/resume (framework addition; empty = off)
     state_ckpt="",
+    # device mesh "DxM" (data x model axes), e.g. "8x1" pure DP or "2x4"
+    # DP+TP with row-sharded tables; empty = single-device (framework
+    # addition; the reference is strictly single-device)
+    mesh="",
 )
 
 

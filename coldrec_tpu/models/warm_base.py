@@ -36,7 +36,59 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
     # and forward_tables(params, state).
     stateful = False
 
+    # ------------------------------------------------------------- sharding
+    def _setup_mesh(self):
+        """Parse --mesh "DxM" into a Mesh + shardings (SURVEY §2.5).
+
+        Embedding tables (leaves whose leading dim is user_num/item_num) are
+        row-sharded over the model axis when divisible, everything else is
+        replicated; batches shard over the data axis. On one device or with
+        --mesh unset this is a no-op and the single-chip path runs.
+        """
+        self.mesh = None
+        self._batch_sharding = None
+        spec = str(getattr(self.args, "mesh", "") or "")
+        if not spec:
+            return
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import AXIS_DATA, AXIS_MODEL, make_mesh
+
+        n_data, n_model = (int(x) for x in spec.lower().split("x"))
+        self.mesh = make_mesh(n_data, n_model)
+        self._batch_sharding = NamedSharding(self.mesh, P(AXIS_DATA))
+        rep = NamedSharding(self.mesh, P())
+        row = NamedSharding(self.mesh, P(AXIS_MODEL, None))
+        table_rows = {self.data.user_num, self.data.item_num}
+
+        def place(x):
+            if (
+                hasattr(x, "ndim")
+                and x.ndim == 2
+                and x.shape[0] in table_rows
+                and x.shape[0] % n_model == 0
+            ):
+                return jax.device_put(x, row)
+            return jax.device_put(x, rep)
+
+        self.params = jax.tree_util.tree_map(place, self.params)
+        if getattr(self, "net_state", None) is not None:
+            self.net_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), self.net_state
+            )
+
+    def _place_batch(self, batch):
+        if self._batch_sharding is None:
+            return batch
+        import jax
+
+        return {
+            k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()
+        }
+
     def setup_optimizer(self):
+        self._setup_mesh()
         self.optimizer = adam(self.lr)
         self.opt_state = self.optimizer.init(self.params)
         if self.stateful:
@@ -143,6 +195,7 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
         for epoch in range(start_epoch, self.max_epoch):
             self.epoch_hook(epoch)
             for n, batch in enumerate(self.batches()):
+                batch = self._place_batch(batch)
                 if self.stateful:
                     extra = (self.next_key(),) if self.uses_rng_in_loss else ()
                     (

@@ -1,0 +1,60 @@
+"""--mesh DxM training: sharded run == single-device run (8-dev CPU mesh)."""
+import jax
+import numpy as np
+import pytest
+
+from coldrec_tpu.config import default_args
+from coldrec_tpu.data.synthetic import synthetic_dataset
+from coldrec_tpu.models import model_factory
+from coldrec_tpu.runtime.trainer import Config
+
+
+@pytest.fixture(scope="module")
+def data():
+    # user_num/item_num multiples of 4 so TP row-sharding engages
+    d, _ = synthetic_dataset(
+        n_users=96, n_items=80, n_inter=1800, cold_object="item", seed=91
+    )
+    return d
+
+
+def _run(data, mesh, model_name="MF", **kw):
+    args = default_args(
+        model=model_name, dataset="synth", epochs=3, bs=256, emb_size=16,
+        early_stop=10, seed=5, save_emb=False, mesh=mesh, **kw,
+    )
+    model = model_factory(Config(args, data))
+    model.run()
+    return model
+
+
+def test_dp_matches_single_device(data):
+    base = _run(data, "")
+    dp = _run(data, "8x1")
+    np.testing.assert_allclose(
+        np.asarray(dp.user_emb), np.asarray(base.user_emb), atol=2e-5
+    )
+    assert dp.overall_test_results == base.overall_test_results
+
+
+def test_dp_tp_matches_single_device(data):
+    assert data.user_num % 4 == 0 and data.item_num % 4 == 0
+    base = _run(data, "")
+    tp = _run(data, "2x4")
+    # tables were actually row-sharded over the model axis
+    shard_shapes = {
+        s.data.shape for s in tp.params["user_emb"].addressable_shards
+    }
+    assert (data.user_num // 4, 16) in shard_shapes
+    np.testing.assert_allclose(
+        np.asarray(tp.user_emb), np.asarray(base.user_emb), atol=2e-5
+    )
+    assert tp.overall_test_results == base.overall_test_results
+
+
+def test_mesh_graph_model(data):
+    base = _run(data, "", model_name="LightGCN", layers=2)
+    dp = _run(data, "4x2", model_name="LightGCN", layers=2)
+    np.testing.assert_allclose(
+        np.asarray(dp.user_emb), np.asarray(base.user_emb), atol=5e-5
+    )
