@@ -35,6 +35,10 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
     # running stats) — loss_fn(params, state, batch, key) -> (loss, new_state)
     # and forward_tables(params, state).
     stateful = False
+    # class defaults so models with custom setup_optimizer (which skip
+    # _setup_mesh) still run the single-device path
+    mesh = None
+    _batch_sharding = None
 
     # ------------------------------------------------------------- sharding
     def _setup_mesh(self):
