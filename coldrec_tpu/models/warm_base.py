@@ -188,6 +188,9 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
         self.best_performance = state["best_performance"]
         if state.get("early_stop_patience") is not None and self.early_stop_flag:
             self.early_stop_patience = state["early_stop_patience"]
+        if self.mesh is not None:
+            # restored host arrays land unsharded; re-apply the mesh layout
+            self._setup_mesh()
         print(f"resumed training state from {path} at epoch {state['epoch'] + 1}")
         return int(state["epoch"]) + 1
 

@@ -19,10 +19,12 @@ def data():
 
 
 def _run(data, mesh, model_name="MF", **kw):
-    args = default_args(
+    base = dict(
         model=model_name, dataset="synth", epochs=3, bs=256, emb_size=16,
-        early_stop=10, seed=5, save_emb=False, mesh=mesh, **kw,
+        early_stop=10, seed=5, save_emb=False, mesh=mesh,
     )
+    base.update(kw)
+    args = default_args(**base)
     model = model_factory(Config(args, data))
     model.run()
     return model
@@ -50,6 +52,21 @@ def test_dp_tp_matches_single_device(data):
         np.asarray(tp.user_emb), np.asarray(base.user_emb), atol=2e-5
     )
     assert tp.overall_test_results == base.overall_test_results
+
+
+def test_mesh_resume(data, tmp_path):
+    """checkpoint/resume under a mesh re-applies the sharded layout."""
+    ckpt = str(tmp_path / "s.ckpt")
+    _run(data, "2x4", state_ckpt=ckpt, epochs=2)
+    resumed = _run(data, "2x4", state_ckpt=ckpt, epochs=4)
+    full = _run(data, "2x4", epochs=4)
+    np.testing.assert_allclose(
+        np.asarray(resumed.user_emb), np.asarray(full.user_emb), atol=2e-5
+    )
+    shard_shapes = {
+        s.data.shape for s in resumed.params["user_emb"].addressable_shards
+    }
+    assert (data.user_num // 4, 16) in shard_shapes
 
 
 def test_mesh_graph_model(data):
