@@ -35,7 +35,7 @@ SCALES = {
 }
 
 
-def build_dataset(root: str, scale: str, seed: int = 11):
+def build_dataset(root: str, scale: str, seed: int = 11, cold_object: str = "item"):
     from coldrec_tpu.data.split import cold_start_split, write_split_dir
     from coldrec_tpu.data.synthetic import synthetic_interactions
 
@@ -43,15 +43,14 @@ def build_dataset(root: str, scale: str, seed: int = 11):
     pairs = synthetic_interactions(
         cfg["n_users"], cfg["n_items"], cfg["n_inter"], seed=seed
     )
-    res = cold_start_split(pairs, cold_object="item", seed=seed + 42)
+    res = cold_start_split(pairs, cold_object=cold_object, seed=seed + 42)
     data_dir = os.path.join(root, "data")
-    write_split_dir(res, data_dir, "parity", "item")
+    write_split_dir(res, data_dir, "parity", cold_object)
     rng = np.random.default_rng(seed + 1)
+    n_side = res.item_num if cold_object == "item" else res.user_num
     np.save(
-        os.path.join(data_dir, "parity", "parity_item_content.npy"),
-        rng.standard_normal((res.item_num, cfg["content_dim"])).astype(
-            np.float32
-        ),
+        os.path.join(data_dir, "parity", f"parity_{cold_object}_content.npy"),
+        rng.standard_normal((n_side, cfg["content_dim"])).astype(np.float32),
     )
     # raw csv for completeness
     with open(os.path.join(data_dir, "parity", "parity.csv"), "w") as f:
@@ -60,7 +59,8 @@ def build_dataset(root: str, scale: str, seed: int = 11):
     return res
 
 
-def run_reference(root: str, model: str, epochs: int, runs: int, extra=()):
+def run_reference(root: str, model: str, epochs: int, runs: int, extra=(),
+                  cold_object: str = "item", backbone: str = "MF"):
     """Run the unmodified reference CLI in a sandbox cwd."""
     os.makedirs(os.path.join(root, "emb"), exist_ok=True)
     # stub modules the reference imports at module scope but that the image
@@ -80,7 +80,8 @@ def run_reference(root: str, model: str, epochs: int, runs: int, extra=()):
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep torch off any accelerator
     cmd = [
         sys.executable, os.path.join(REFERENCE, "main.py"),
-        "--dataset", "parity", "--model", model, "--cold_object", "item",
+        "--dataset", "parity", "--model", model, "--cold_object", cold_object,
+        "--backbone", backbone,
         "--epochs", str(epochs), "--runs", str(runs),
         "--use_gpu", "false", "--result_file", result_file,
         "--result_overwrite", *extra,
@@ -90,13 +91,15 @@ def run_reference(root: str, model: str, epochs: int, runs: int, extra=()):
     return parse_result_json(result_file)
 
 
-def run_ours(root: str, model: str, epochs: int, runs: int, extra_args=None):
+def run_ours(root: str, model: str, epochs: int, runs: int, extra_args=None,
+             cold_object: str = "item", backbone: str = "MF"):
     from coldrec_tpu.config import default_args
     import main as cli_main
 
     result_file = os.path.join(root, "tpu_result.txt")
     kwargs = dict(
-        model=model, dataset="parity", cold_object="item",
+        model=model, dataset="parity", cold_object=cold_object,
+        backbone=backbone,
         data_dir=os.path.join(root, "data"),
         emb_dir=os.path.join(root, "emb"),
         epochs=epochs, runs=runs, result_file=result_file,
@@ -155,30 +158,35 @@ def main():
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--runs", type=int, default=2)
     p.add_argument("--scale", default="small", choices=list(SCALES))
+    p.add_argument("--cold_object", default="item", choices=["item", "user"])
+    p.add_argument("--backbone", default="MF")
     p.add_argument("--keep", action="store_true")
     args = p.parse_args()
 
     root = tempfile.mkdtemp(prefix="parity_")
     print(f"sandbox: {root}")
-    build_dataset(root, args.scale)
+    build_dataset(root, args.scale, cold_object=args.cold_object)
+    co, bb = args.cold_object, args.backbone
     if args.model not in ("MF", "LightGCN", "NGCF", "SimGCL", "XSimGCL",
                           "DUIF", "FSGNN", "CGRC"):
-        # cold models load the MF backbone from each framework's own bus:
+        # cold models load the backbone from each framework's own bus:
         # train it once per side in the same sandbox
-        print("== pre-training MF backbone on both sides ==")
-        run_reference(root, "MF", args.epochs, 1)
-        run_ours(root, "MF", args.epochs, 1)
+        print(f"== pre-training {bb} backbone on both sides ==")
+        run_reference(root, bb, args.epochs, 1, cold_object=co)
+        run_ours(root, bb, args.epochs, 1, cold_object=co)
     if args.model == "AMR":
         # AMR consumes VBPR's saved tensors (AMR.py:94-124)
         print("== pre-training VBPR on both sides ==")
-        run_reference(root, "VBPR", args.epochs, 1)
-        run_ours(root, "VBPR", args.epochs, 1)
-    ref = run_reference(root, args.model, args.epochs, args.runs)
-    ours = run_ours(root, args.model, args.epochs, args.runs)
+        run_reference(root, "VBPR", args.epochs, 1, cold_object=co, backbone=bb)
+        run_ours(root, "VBPR", args.epochs, 1, cold_object=co, backbone=bb)
+    ref = run_reference(root, args.model, args.epochs, args.runs,
+                        cold_object=co, backbone=bb)
+    ours = run_ours(root, args.model, args.epochs, args.runs,
+                    cold_object=co, backbone=bb)
     verdict = compare(ref, ours)
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f"PARITY_{args.model}.json",
+        f"PARITY_{args.model}{'' if args.cold_object == 'item' else '_user'}.json",
     )
     with open(out_path, "w") as f:
         json.dump(verdict, f, indent=2)
