@@ -69,6 +69,22 @@ def test_mesh_resume(data, tmp_path):
     assert (data.user_num // 4, 16) in shard_shapes
 
 
+def test_mesh_stateful_model(data, tmp_path):
+    """Stateful (BatchNorm) cold model trains under a mesh; backbone first."""
+    args = default_args(
+        model="MF", dataset="synth", epochs=1, bs=256, emb_size=16,
+        early_stop=3, seed=5, emb_dir=str(tmp_path),
+    )
+    model_factory(Config(args, data)).run()
+    dn = _run(
+        data, "4x2", model_name="DropoutNet", epochs=2,
+        emb_dir=str(tmp_path),
+    )
+    assert np.isfinite(
+        np.asarray(dn.overall_test_results, dtype=float)
+    ).all()
+
+
 def test_mesh_graph_model(data):
     base = _run(data, "", model_name="LightGCN", layers=2)
     dp = _run(data, "4x2", model_name="LightGCN", layers=2)
