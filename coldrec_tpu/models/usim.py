@@ -159,9 +159,12 @@ class USIM(ColdStartModelBase):
         stop_col = jnp.full((b, 1), self.n_user - 1, neg.dtype)
         neg_idx = jnp.concatenate([neg, stop_col], axis=1)
 
+        rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+
         def onehot_any(idx):
-            oh = jax.nn.one_hot(idx, self.n_user, dtype=jnp.int32)
-            return jnp.sum(oh, axis=1) >= 1
+            # scatter-based membership: avoids the (B, k, n_user) one-hot
+            # intermediate (~1 GB at ML scale with bs=4096)
+            return jnp.zeros((b, self.n_user), bool).at[rows, idx].set(True)
 
         oh_pos = onehot_any(pos_idx)
         oh_user = onehot_any(topk_user)
@@ -176,9 +179,7 @@ class USIM(ColdStartModelBase):
         am = jnp.argmax(sp, axis=-1)
         rand = jax.random.uniform(k2, (b,)) > 0.8
         masked_am = jnp.where(rand, am, 0)  # reference quirk: collapses to 0
-        mask = mask & ~(
-            jax.nn.one_hot(masked_am, self.n_user, dtype=jnp.int32) >= 1
-        )
+        mask = mask & ~onehot_any(masked_am[:, None])
         mp = sp * mask
         mp = mp / jnp.maximum(jnp.sum(mp, axis=-1, keepdims=True), 1e-12)
         action = jax.random.categorical(k3, jnp.log(jnp.maximum(mp, 1e-20)))
@@ -186,16 +187,18 @@ class USIM(ColdStartModelBase):
 
     @staticmethod
     def _rebuild_mask(n_user, pos_idx, user_idx, neg_idx, masked_am):
+        t = pos_idx.shape[0]
+        rows = jnp.arange(t, dtype=jnp.int32)[:, None]
+
         def onehot_any(idx):
-            oh = jax.nn.one_hot(idx, n_user, dtype=jnp.int32)
-            return jnp.sum(oh, axis=1) >= 1
+            return jnp.zeros((t, n_user), bool).at[rows, idx].set(True)
 
         oh_pos = onehot_any(pos_idx)
         mask = oh_pos & onehot_any(user_idx)
         empty = jnp.sum(mask, axis=-1) == 0
         mask = jnp.where(empty[:, None], oh_pos, mask)
         mask = mask | onehot_any(neg_idx)
-        return mask & ~(jax.nn.one_hot(masked_am, n_user, dtype=jnp.int32) >= 1)
+        return mask & ~onehot_any(masked_am[:, None])
 
     def _log_probs_masked(self, actor, states, actions, masks):
         sp = _probs(actor, self.user_ext[:-1], states)
