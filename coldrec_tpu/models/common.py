@@ -7,7 +7,6 @@ optimization is optax. ``xavier_uniform`` matches torch's
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax

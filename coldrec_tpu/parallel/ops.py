@@ -20,7 +20,6 @@ path on a 1-device mesh.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
