@@ -39,6 +39,9 @@ COMMON_DEFAULTS = dict(
     # DP+TP with row-sharded tables; empty = single-device (framework
     # addition; the reference is strictly single-device)
     mesh="",
+    # retrieval sweep backend: "xla" (fused by XLA, fastest today) or
+    # "pallas" (the fused kernel in ops/pallas/retrieval.py)
+    eval_backend="xla",
 )
 
 

@@ -110,3 +110,32 @@ class EvalSweep:
             outs.append(idx)
         rec = jnp.concatenate(outs, axis=0)[: st["n_users"]]
         return np.asarray(jax.device_get(rec))
+
+    def run_pallas(
+        self,
+        split_name: str,
+        data_type: str,
+        user_emb: jnp.ndarray,
+        item_emb: jnp.ndarray,
+        interpret: bool = False,
+    ) -> np.ndarray:
+        """Same sweep through the fused Pallas retrieval kernel
+        (ops/pallas/retrieval.py) — selected with --eval_backend pallas."""
+        from ..ops.pallas.retrieval import retrieval_topk
+
+        st = self._prepare(split_name, data_type)
+        users = st["user_chunks"].reshape(-1)[: st["n_users"]]
+        rated = np.asarray(st["rated_chunks"]).reshape(
+            -1, st["rated_chunks"].shape[-1]
+        )[: st["n_users"]]
+        excluded = np.asarray(st["bias"])
+        ue = np.asarray(user_emb)[users]
+        _, ids = retrieval_topk(
+            ue,
+            np.asarray(item_emb),
+            rated.astype(np.int32),
+            excluded,
+            self.max_n,
+            interpret=interpret,
+        )
+        return ids

@@ -148,6 +148,15 @@ class BaseColdStartTrainer(ABC):
     # ----------------------------------------------------------------- eval
     def _rec_lists(self, phase: str, data_type: str) -> np.ndarray:
         split = _SETTING_SPLITS[(data_type, phase)]
+        if (
+            str(getattr(self.args, "eval_backend", "xla")) == "pallas"
+            and getattr(self, "user_emb", None) is not None
+            and getattr(self, "item_emb", None) is not None
+        ):
+            return self.sweep.run_pallas(
+                split, data_type, self.user_emb, self.item_emb,
+                interpret=jax.devices()[0].platform != "tpu",
+            )
         return self.sweep.run(split, data_type, self.batch_scores)
 
     def valid(self, valid_type: str = "all") -> np.ndarray:
