@@ -33,13 +33,20 @@ def masked_topk(
     excluded: jnp.ndarray,  # (I,) bool: True = masked out of the candidate pool
     k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rated membership via per-row sorted searchsorted instead of scatter:
+    numerically identical, but the program cold-compiles ~2x faster over the
+    remote-compile tunnel (scatter lowering is the slow part)."""
     b, n_items = scores.shape
-    wide = jnp.concatenate(
-        [scores, jnp.zeros((b, 1), scores.dtype)], axis=1
-    )
-    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
-    wide = wide.at[rows, rated_pad].set(MASK_VALUE, mode="drop")
-    masked = jnp.where(excluded[None, :], MASK_VALUE, wide[:, :n_items])
+    r = rated_pad.shape[1]
+    rated_sorted = jnp.sort(rated_pad, axis=1)  # pad = I sorts to the end
+    item_ids = jnp.arange(n_items, dtype=rated_pad.dtype)
+
+    def row_membership(row):
+        pos = jnp.minimum(jnp.searchsorted(row, item_ids), r - 1)
+        return row[pos] == item_ids
+
+    is_rated = jax.vmap(row_membership)(rated_sorted)
+    masked = jnp.where(is_rated | excluded[None, :], MASK_VALUE, scores)
     vals, idx = jax.lax.top_k(masked, k)
     return vals, idx
 
