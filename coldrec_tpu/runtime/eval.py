@@ -47,7 +47,30 @@ def masked_topk(
 
     is_rated = jax.vmap(row_membership)(rated_sorted)
     masked = jnp.where(is_rated | excluded[None, :], MASK_VALUE, scores)
-    vals, idx = jax.lax.top_k(masked, k)
+    return _hierarchical_topk(masked, k)
+
+
+def _hierarchical_topk(masked: jnp.ndarray, k: int):
+    """top_k, two-stage for wide item spaces: segment-local top-k then a
+    global re-rank of S*k candidates. Exact (k <= segment width), and keeps
+    the sort programs small — a single 270k-wide lax.top_k makes the remote
+    TPU compiler time out at book-crossing scale."""
+    b, n_items = masked.shape
+    seg = 4096
+    if n_items <= 8 * seg:
+        return jax.lax.top_k(masked, k)
+    pad = (-n_items) % seg
+    if pad:
+        masked = jnp.concatenate(
+            [masked, jnp.full((b, pad), MASK_VALUE * 2.0, masked.dtype)], axis=1
+        )
+    s = masked.shape[1] // seg
+    seg_vals, seg_idx = jax.lax.top_k(masked.reshape(b, s, seg), k)
+    offsets = (jnp.arange(s, dtype=seg_idx.dtype) * seg)[None, :, None]
+    cand_idx = (seg_idx + offsets).reshape(b, s * k)
+    cand_vals = seg_vals.reshape(b, s * k)
+    vals, pos = jax.lax.top_k(cand_vals, k)
+    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
     return vals, idx
 
 
