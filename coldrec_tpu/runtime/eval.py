@@ -90,7 +90,11 @@ class EvalSweep:
     def __init__(self, data, cold_object: str, batch_size: int, max_n: int):
         self.data = data
         self.cold_object = cold_object
-        self.batch_size = int(batch_size)
+        # cap the user-chunk width so the (B, I) score plane and its masking
+        # intermediates stay within HBM at book-crossing-scale item counts
+        # (~2^28 fp32 elements per plane; a few planes are live at once)
+        budget = max(64, (1 << 28) // max(int(data.item_num), 1))
+        self.batch_size = min(int(batch_size), budget)
         self.max_n = int(max_n)
         self._cache: Dict[Tuple[str, str], dict] = {}
 
