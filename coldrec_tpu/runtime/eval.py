@@ -33,21 +33,30 @@ def masked_topk(
     excluded: jnp.ndarray,  # (I,) bool: True = masked out of the candidate pool
     k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Rated membership via per-row sorted searchsorted instead of scatter:
-    numerically identical, but the program cold-compiles ~2x faster over the
-    remote-compile tunnel (scatter lowering is the slow part)."""
+    """Overfetch-then-mask: take the top (k + R) candidates with only the
+    dense candidate mask applied, then reject rated items among that small
+    set. Exact — at most R rated items can occupy top slots, so the top
+    (k + R) unmasked candidates always contain the masked top k. Avoids
+    materializing a (B, I) rated-membership plane (which dominated eval
+    runtime at book-crossing item counts) and compiles fast."""
     b, n_items = scores.shape
     r = rated_pad.shape[1]
+    masked = jnp.where(excluded[None, :], MASK_VALUE, scores)
+    fetch = min(k + r, n_items)
+    cand_vals, cand_idx = _hierarchical_topk(masked, fetch)  # (B, k+R)
+
+    # reject rated candidates: sorted-row searchsorted over the small set
     rated_sorted = jnp.sort(rated_pad, axis=1)  # pad = I sorts to the end
-    item_ids = jnp.arange(n_items, dtype=rated_pad.dtype)
 
-    def row_membership(row):
-        pos = jnp.minimum(jnp.searchsorted(row, item_ids), r - 1)
-        return row[pos] == item_ids
+    def row_membership(row, cand):
+        pos = jnp.minimum(jnp.searchsorted(row, cand), r - 1)
+        return row[pos] == cand
 
-    is_rated = jax.vmap(row_membership)(rated_sorted)
-    masked = jnp.where(is_rated | excluded[None, :], MASK_VALUE, scores)
-    return _hierarchical_topk(masked, k)
+    is_rated = jax.vmap(row_membership)(rated_sorted, cand_idx)
+    cand_vals = jnp.where(is_rated, MASK_VALUE, cand_vals)
+    vals, pos = jax.lax.top_k(cand_vals, k)
+    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    return vals, idx
 
 
 def _hierarchical_topk(masked: jnp.ndarray, k: int):
@@ -57,6 +66,8 @@ def _hierarchical_topk(masked: jnp.ndarray, k: int):
     TPU compiler time out at book-crossing scale."""
     b, n_items = masked.shape
     seg = 4096
+    while seg < 2 * k:  # keep k <= segment width (heavy-rated-user overfetch)
+        seg *= 2
     if n_items <= 8 * seg:
         return jax.lax.top_k(masked, k)
     pad = (-n_items) % seg
