@@ -54,9 +54,11 @@ def _tower_init(key, in_dim, hidden, out_dim):
     }
 
 
-def _tower_apply(params, state, x, training):
+def _tower_apply(params, state, x, training, weight=None):
     h = linear(params["fc1"], x)
-    h, new_state = batchnorm_apply(params["bn"], state, h, training)
+    h, new_state = batchnorm_apply(
+        params["bn"], state, h, training, weight=weight
+    )
     return linear(params["fc2"], jnp.tanh(h)), new_state
 
 
@@ -155,13 +157,14 @@ class ALDI(ColdStartModelBase):
         pe = self.backbone["item_emb"][iid]
         ne = self.backbone["item_emb"][nid]
         gen_u, s_u = _tower_apply(
-            params["user_tower"], state["user_bn"], ue, True
+            params["user_tower"], state["user_bn"], ue, True, weight=w
         )
         gen_p, s_i = _tower_apply(
-            params["item_tower"], state["item_bn"], self.content[iid], True
+            params["item_tower"], state["item_bn"], self.content[iid], True,
+            weight=w,
         )
         gen_n, s_i2 = _tower_apply(
-            params["item_tower"], s_i, self.content[nid], True
+            params["item_tower"], s_i, self.content[nid], True, weight=w
         )
         new_state = {"user_bn": s_u, "item_bn": s_i2}
 

@@ -169,13 +169,26 @@ def batchnorm_apply(
     training: bool,
     momentum: float = 0.1,
     eps: float = 1e-5,
+    weight: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
-    """torch BatchNorm1d semantics incl. running-stat update in train mode."""
+    """torch BatchNorm1d semantics incl. running-stat update in train mode.
+
+    ``weight`` (1.0 real / 0.0 pad) makes the batch statistics match the
+    reference's unpadded batches exactly — without it, heavily padded final
+    batches (thousands of identical gathered rows) skew mean/var.
+    """
     if training:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)
-        n = x.shape[0]
-        unbiased = var * n / max(n - 1, 1)
+        if weight is not None:
+            w = weight[:, None]
+            n = jnp.maximum(jnp.sum(weight), 1.0)
+            mean = jnp.sum(x * w, axis=0) / n
+            var = jnp.sum((x - mean) ** 2 * w, axis=0) / n
+            unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+        else:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.var(x, axis=0)
+            n = x.shape[0]
+            unbiased = var * n / max(n - 1, 1)
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
             "var": (1 - momentum) * state["var"] + momentum * unbiased,

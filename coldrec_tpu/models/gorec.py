@@ -85,11 +85,13 @@ class GoRec(ColdStartModelBase):
         self.setup_optimizer()
 
     # ------------------------------------------------------------- encoders
-    def _encode(self, params, state, warm, side, training):
+    def _encode(self, params, state, warm, side, training, weight=None):
         mu_zgc = linear(params["l_mu_zgc"], side)
         logvar_zgc = linear(params["l_var_zgc"], side)
         h = jnp.concatenate([side, warm], axis=1) @ params["enc_fc"]["w"]
-        h, bn_state = batchnorm_apply(params["enc_bn"], state["enc_bn"], h, training)
+        h, bn_state = batchnorm_apply(
+            params["enc_bn"], state["enc_bn"], h, training, weight=weight
+        )
         h = jnp.tanh(h)
         return (
             linear(params["l_mu"], h),
@@ -99,9 +101,11 @@ class GoRec(ColdStartModelBase):
             bn_state,
         )
 
-    def _decode(self, params, state, z, side, training):
+    def _decode(self, params, state, z, side, training, weight=None):
         h = jnp.concatenate([side, z], axis=1) @ params["dec_fc"]["w"]
-        h, bn_state = batchnorm_apply(params["dec_bn"], state["dec_bn"], h, training)
+        h, bn_state = batchnorm_apply(
+            params["dec_bn"], state["dec_bn"], h, training, weight=weight
+        )
         h = jnp.tanh(h)
         for blk in params["gen"]:
             h = linear(blk, h)
@@ -124,7 +128,7 @@ class GoRec(ColdStartModelBase):
         w = batch["weight"]
         k1, k2, k3 = jax.random.split(key, 3)
         mu, logvar, mu_zgc, logvar_zgc, enc_bn = self._encode(
-            params, state, warm, side, True
+            params, state, warm, side, True, weight=w
         )
         z = jax.random.normal(k1, mu.shape) * jnp.exp(0.5 * logvar) + mu
         zgc = (
@@ -133,7 +137,7 @@ class GoRec(ColdStartModelBase):
         )
         side_dropped = dropout(k3, side, self.drop_rate, True)
         rec, dec_bn = self._decode(
-            params, {**state, "enc_bn": enc_bn}, z, side_dropped, True
+            params, {**state, "enc_bn": enc_bn}, z, side_dropped, True, weight=w
         )
         new_state = {"enc_bn": enc_bn, "dec_bn": dec_bn}
 

@@ -215,9 +215,9 @@ class M2VAE(ColdStartModelBase):
     def _mlp2(self, params, x, act):
         return linear(params[1], act(linear(params[0], x)))
 
-    def _bn_block(self, blk, st, x, training):
+    def _bn_block(self, blk, st, x, training, weight=None):
         h = linear(blk["lin"], x)
-        h, st2 = batchnorm_apply(blk["bn"], st, h, training)
+        h, st2 = batchnorm_apply(blk["bn"], st, h, training, weight=weight)
         return jnp.tanh(h), st2
 
     def loss_fn(self, params, state, batch, key):
@@ -242,7 +242,8 @@ class M2VAE(ColdStartModelBase):
             k1, mean_a_q.shape
         )
         h1, st_fc2 = self._bn_block(
-            params["fc2"], state["fc2"], jnp.concatenate([a_v, c_v], -1), True
+            params["fc2"], state["fc2"], jnp.concatenate([a_v, c_v], -1), True,
+            weight=w,
         )
         mean_p = linear(params["mean_a_p"], h1)
         log_p = linear(params["log_a_p"], h1)
@@ -286,10 +287,10 @@ class M2VAE(ColdStartModelBase):
         )
         h3, st_fc3 = self._bn_block(
             params["fc3"], state["fc3"],
-            jnp.concatenate([z, a_v, c_v], -1), True,
+            jnp.concatenate([z, a_v, c_v], -1), True, weight=w,
         )
         decoder, st_dec = self._bn_block(
-            params["decoder"], state["decoder"], h3, True
+            params["decoder"], state["decoder"], h3, True, weight=w
         )
         new_state = {
             "fc2": st_fc2, "fc3": st_fc3, "decoder": st_dec,

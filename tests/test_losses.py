@@ -107,3 +107,33 @@ def test_batch_softmax_loss_finite(rng):
     v = rng.standard_normal((8, 4)).astype(np.float32)
     out = float(batch_softmax_loss(jnp.array(u), jnp.array(v), 0.2))
     assert np.isfinite(out)
+
+
+def test_weighted_batchnorm_matches_unpadded():
+    """Weighted BN stats over a padded batch == plain BN over the real rows
+    (the reference never sees pad rows; torch BatchNorm1d semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from coldrec_tpu.models.common import (
+        batchnorm_apply,
+        batchnorm_params,
+        batchnorm_state,
+    )
+
+    key = jax.random.PRNGKey(0)
+    real = jax.random.normal(key, (5, 4)) * 3.0 + 1.0
+    pad = jnp.tile(real[0:1], (7, 1))  # pads gather row 0's features
+    x_padded = jnp.concatenate([real, pad], axis=0)
+    w = jnp.concatenate([jnp.ones(5), jnp.zeros(7)])
+
+    p, s = batchnorm_params(4), batchnorm_state(4)
+    y_ref, s_ref = batchnorm_apply(p, s, real, True, momentum=0.01, eps=0.001)
+    y_pad, s_pad = batchnorm_apply(
+        p, s, x_padded, True, momentum=0.01, eps=0.001, weight=w
+    )
+    assert jnp.allclose(y_pad[:5], y_ref, atol=1e-5)
+    assert jnp.allclose(s_pad["mean"], s_ref["mean"], atol=1e-6)
+    assert jnp.allclose(s_pad["var"], s_ref["var"], atol=1e-5)
+    # unweighted padded stats would differ
+    y_bad, _ = batchnorm_apply(p, s, x_padded, True)
+    assert not jnp.allclose(y_bad[:5], y_ref, atol=1e-3)
