@@ -39,6 +39,36 @@ from .cold_base import ColdStartModelBase
 from .common import linear, linear_params, xavier_uniform
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_u"))
+def _cgrc_block_topk(mlp_tail, xi_blk, hu_chunks, uid_chunks, k, n_u):
+    """Running top-k users for one cold-item block. mlp_tail = (b1, w2, b2)
+    of the edge MLP; scan over user chunks merges (prev_topk ∥ chunk) with
+    lax.top_k — exact, peak memory (iblk, ublk, H)."""
+    b1, w2, b2 = mlp_tail
+    ci = xi_blk.shape[0]
+    neg_inf = jnp.finfo(jnp.float32).min
+
+    def body(carry, inp):
+        bv, bi = carry  # (Ci, k)
+        hu_b, id_b = inp
+        h = jax.nn.relu(xi_blk[:, None, :] + hu_b[None, :, :] + b1)
+        lg = (h @ w2)[..., 0] + b2[0]  # (Ci, ublk)
+        lg = jnp.where(id_b[None, :] < n_u, lg, neg_inf)
+        v = jnp.concatenate([bv, lg], axis=1)
+        i = jnp.concatenate(
+            [bi, jnp.broadcast_to(id_b[None, :], (ci, id_b.shape[0]))], axis=1
+        )
+        nv, pos = jax.lax.top_k(v, k)
+        return (nv, jnp.take_along_axis(i, pos, axis=1)), None
+
+    init = (
+        jnp.full((ci, k), neg_inf, jnp.float32),
+        jnp.zeros((ci, k), jnp.int32),
+    )
+    (_, bi), _ = jax.lax.scan(body, init, (hu_chunks, uid_chunks))
+    return bi
+
+
 class CGRC(ColdStartModelBase):
     uses_rng_in_loss = True
 
@@ -146,17 +176,32 @@ class CGRC(ColdStartModelBase):
         mean = acc / (n_layers + 1)
         return mean[:n_u], mean[n_u:]
 
-    def _edge_logits(self, params, h_users, item_x):
-        """(R, I) logits: edge_mlp([h_u ∥ x_i]) decomposed to avoid the RxIx2d
-        concat blowup: first Linear splits into user-part + item-part."""
+    def _edge_parts(self, params, h_users, item_x):
+        """Decomposed first Linear of the edge MLP: [h_u ∥ x_i] @ W splits
+        into a user part (R, H) and an item part (I, H)."""
         w = params["edge_mlp"][0]["w"]
-        b = params["edge_mlp"][0]["b"]
         d = h_users.shape[1]
-        hu = h_users @ w[:d]  # (R, H)
-        xi = item_x @ w[d:]  # (I, H)
-        h = jax.nn.relu(hu[:, None, :] + xi[None, :, :] + b)
+        return h_users @ w[:d], item_x @ w[d:]
+
+    def _block_logits(self, params, hu, xi):
+        """(R, H) x (B, H) -> (R, B) edge logits from precomputed parts."""
+        b = params["edge_mlp"][0]["b"]
         w2 = params["edge_mlp"][1]
-        return (h @ w2["w"])[..., 0] + w2["b"][0]  # (R, I)
+        h = jax.nn.relu(hu[:, None, :] + xi[None, :, :] + b)
+        return (h @ w2["w"])[..., 0] + w2["b"][0]
+
+    def _pair_logits(self, params, hu, xi):
+        """(N, H) x (N, H) -> (N,) logits for aligned user/item pairs."""
+        b = params["edge_mlp"][0]["b"]
+        w2 = params["edge_mlp"][1]
+        h = jax.nn.relu(hu + xi + b)
+        return (h @ w2["w"])[:, 0] + w2["b"][0]
+
+    def _edge_logits(self, params, h_users, item_x):
+        """(R, I) logits: edge_mlp([h_u ∥ x_i]); materializes (R, I, H) —
+        only safe for small R*I (the scan paths below bound memory)."""
+        hu, xi = self._edge_parts(params, h_users, item_x)
+        return self._block_logits(params, hu, xi)
 
     def _rated_mask(self, users, item_ids=None):
         """(B, I) or (B, L) bool: user rated item (batched searchsorted)."""
@@ -171,6 +216,73 @@ class CGRC(ColdStartModelBase):
             item_ids = jnp.arange(self.data.item_num, dtype=jnp.int32)
             return jax.vmap(lambda r: row(r, item_ids))(rated)
         return jax.vmap(row)(rated, item_ids)
+
+    # ---------------------------------------------------- L_E softmax terms
+    # dense path only when the (E, I, H) edge-MLP intermediate is small;
+    # otherwise an exact running-logsumexp lax.scan over item blocks keeps
+    # peak memory at (E, blk, H) regardless of item count (book-crossing's
+    # 270k items would need ~280GB dense).
+    _DENSE_ELEMS_CAP = 1 << 27  # fp32 elements (~512MB) for E*I*H
+
+    def _edge_softmax_terms(self, params, h_e, e_u, e_i, x_all, cold_mask):
+        """Per-sampled-edge (pos_logit, logsumexp over valid items, any_valid).
+
+        valid = simulated-cold ∧ not rated by the edge's user — identical to
+        the dense ``where(valid, logits, -inf)`` logsumexp (CGRC.py:206-256
+        semantics), chunked for static bounded memory.
+        """
+        n_i = self.data.item_num
+        hsz = int(self.args.cgrc_mlp_hidden)
+        hu, xi_all = self._edge_parts(params, h_e, x_all)
+        pos = self._pair_logits(params, hu, xi_all[e_i])
+        if self.le_max * n_i * hsz <= self._DENSE_ELEMS_CAP:
+            logits = self._block_logits(params, hu, xi_all)  # (E, I)
+            valid = cold_mask[None, :] & ~self._rated_mask(e_u)
+            neg_inf = jnp.finfo(logits.dtype).min
+            lse = jax.nn.logsumexp(jnp.where(valid, logits, neg_inf), axis=1)
+            return pos, lse, jnp.any(valid, axis=1)
+
+        blk = max(256, min(4096, self._DENSE_ELEMS_CAP // (self.le_max * hsz)))
+        pad = (-n_i) % blk
+        xi_pad = (
+            jnp.concatenate([xi_all, jnp.zeros((pad, hsz), xi_all.dtype)])
+            if pad
+            else xi_all
+        )
+        cm_pad = (
+            jnp.concatenate([cold_mask, jnp.zeros(pad, bool)])
+            if pad
+            else cold_mask
+        )
+        ids = jnp.arange(n_i + pad, dtype=jnp.int32).reshape(-1, blk)
+        rated = self._rated_all[e_u]  # (E, R) sorted, pad = n_i
+        neg_inf = jnp.finfo(jnp.float32).min
+
+        def member(row, q):  # (R,), (blk,) -> (blk,) membership
+            p = jnp.minimum(jnp.searchsorted(row, q), row.shape[0] - 1)
+            return row[p] == q
+
+        def body(carry, idx):
+            m, s = carry  # running max (E,), running sum-exp (E,)
+            lg = self._block_logits(params, hu, xi_pad[idx])  # (E, blk)
+            valid = cm_pad[idx][None, :] & ~jax.vmap(
+                lambda r: member(r, idx)
+            )(rated)
+            lg = jnp.where(valid, lg, neg_inf)
+            bm = jnp.max(lg, axis=1)
+            nm = jnp.maximum(m, bm)
+            scale = jnp.where(nm == neg_inf, 0.0, jnp.exp(m - nm))
+            add = jnp.sum(jnp.where(valid, jnp.exp(lg - nm[:, None]), 0.0), 1)
+            return (nm, s * scale + add), None
+
+        init = (
+            jnp.full((self.le_max,), neg_inf, jnp.float32),
+            jnp.zeros((self.le_max,), jnp.float32),
+        )
+        (m, s), _ = jax.lax.scan(body, init, ids)
+        has_valid = s > 0
+        lse = m + jnp.log(jnp.maximum(s, 1e-38))
+        return pos, lse, has_valid
 
     # ----------------------------------------------------------------- loss
     def loss_fn(self, params, batch, key):
@@ -191,12 +303,9 @@ class CGRC(ColdStartModelBase):
         e_pairs = jnp.asarray(tp.astype(np.int32))[eidx]
         e_u, e_i = e_pairs[:, 0], e_pairs[:, 1]
         e_w = cold_mask[e_i].astype(jnp.float32)  # masked-edge indicator
-        logits = self._edge_logits(params, h_u_bar[e_u], x_all)  # (E, I)
-        valid = cold_mask[None, :] & ~self._rated_mask(e_u)
-        neg_inf = jnp.finfo(logits.dtype).min
-        lse = jax.nn.logsumexp(jnp.where(valid, logits, neg_inf), axis=1)
-        pos = jnp.take_along_axis(logits, e_i[:, None], axis=1)[:, 0]
-        has_valid = jnp.any(valid, axis=1)
+        pos, lse, has_valid = self._edge_softmax_terms(
+            params, h_u_bar[e_u], e_u, e_i, x_all, cold_mask
+        )
         e_w = e_w * has_valid.astype(jnp.float32)
         loss_e = jnp.sum(-(pos - lse) * e_w) / jnp.maximum(jnp.sum(e_w), 1.0)
 
@@ -213,7 +322,7 @@ class CGRC(ColdStartModelBase):
             batch["user"], jnp.broadcast_to(b_items, (bs, b_items.shape[0]))
         )
         le_row = jax.nn.logsumexp(
-            jnp.where(not_rated, sim, neg_inf), axis=1
+            jnp.where(not_rated, sim, jnp.finfo(sim.dtype).min), axis=1
         )
         pos_s = jnp.diag(sim[:, :bs])
         w = batch["weight"] * jnp.any(not_rated, axis=1)
@@ -244,10 +353,15 @@ class CGRC(ColdStartModelBase):
             return self._lightgcn_full(
                 self.full_graph, params["user_emb"], x_all, self.Lh
             )
-        logits = self._edge_logits(params, h_u_bar, x_all[jnp.asarray(cold)].reshape(cold.size, -1))
         k = min(self.topk, n_u)
-        _, top_rows = jax.lax.top_k(logits.T, k)  # (C, k) users per cold item
-        top_rows = np.asarray(top_rows)
+        x_cold = x_all[jnp.asarray(cold)].reshape(cold.size, -1)
+        hsz = int(self.args.cgrc_mlp_hidden)
+        if n_u * cold.size * hsz <= self._DENSE_ELEMS_CAP:
+            logits = self._edge_logits(params, h_u_bar, x_cold)
+            _, top_rows = jax.lax.top_k(logits.T, k)  # (C, k) users/item
+            top_rows = np.asarray(top_rows)
+        else:
+            top_rows = self._topk_users_chunked(params, h_u_bar, x_cold, k)
         # host: union of base edges + predicted edges, weights clamped to 1
         R = self.data.interaction_csr.tocoo()
         pu = top_rows.reshape(-1)
@@ -263,6 +377,46 @@ class CGRC(ColdStartModelBase):
         adj = self.data.normalize_graph(bip)
         graph = SparseGraph.from_host(SparseGraphHost.from_scipy(adj))
         return self._lightgcn_full(graph, params["user_emb"], x_all, self.Lh)
+
+    def _topk_users_chunked(self, params, h_u_bar, x_cold, k):
+        """(C, k) top-scoring users per cold item without the (n_u, C, H)
+        dense intermediate: host loop over cold-item blocks; inside one jit,
+        a lax.scan over user blocks carries a running top-k merge (exact)."""
+        n_u = h_u_bar.shape[0]
+        hsz = int(self.args.cgrc_mlp_hidden)
+        iblk = 512
+        ublk = max(256, min(8192, self._DENSE_ELEMS_CAP // (iblk * hsz)))
+        hu_all, xi_cold = self._edge_parts(params, h_u_bar, x_cold)
+        pad_u = (-n_u) % ublk
+        hu_pad = (
+            jnp.concatenate([hu_all, jnp.zeros((pad_u, hsz), hu_all.dtype)])
+            if pad_u
+            else hu_all
+        )
+        uids = jnp.arange(n_u + pad_u, dtype=jnp.int32)
+        hu_chunks = hu_pad.reshape(-1, ublk, hsz)
+        uid_chunks = uids.reshape(-1, ublk)
+        c = xi_cold.shape[0]
+        pad_c = (-c) % iblk
+        if pad_c:
+            xi_cold = jnp.concatenate(
+                [xi_cold, jnp.zeros((pad_c, hsz), xi_cold.dtype)]
+            )
+        mlp_tail = (
+            params["edge_mlp"][0]["b"],
+            params["edge_mlp"][1]["w"],
+            params["edge_mlp"][1]["b"],
+        )
+        outs = [
+            np.asarray(
+                _cgrc_block_topk(
+                    mlp_tail, xi_cold[s : s + iblk], hu_chunks, uid_chunks,
+                    k, n_u,
+                )
+            )
+            for s in range(0, c + pad_c, iblk)
+        ]
+        return np.concatenate(outs, axis=0)[:c]
 
     def setup_optimizer(self):
         # forward_tables mixes host scipy (Ĝ rebuild) with device compute,

@@ -91,3 +91,64 @@ def test_graph_backbone_end_to_end(data, model_name, tmp_path):
     model.run()
     assert model.overall_test_results is not None
     assert all(np.isfinite(v) for row in model.overall_test_results for v in row)
+
+
+def test_cgrc_chunked_paths_match_dense():
+    """The lax.scan running-LSE and running-top-k paths are exact: forcing
+    them (tiny _DENSE_ELEMS_CAP) must reproduce the dense L_E terms and the
+    dense per-cold-item top-k users."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from coldrec_tpu.config import default_args
+    from coldrec_tpu.data.synthetic import synthetic_dataset
+    from coldrec_tpu.models import model_factory
+    from coldrec_tpu.runtime.trainer import Config
+
+    data, _ = synthetic_dataset(
+        n_users=50, n_items=60, n_inter=900, cold_object="item",
+        content_dim=8, seed=7,
+    )
+    args = default_args(
+        model="CGRC", dataset="synth", epochs=0, bs=64, emb_size=8,
+        cgrc_le_max_edges=32, cgrc_mlp_hidden=8,
+    )
+    m = model_factory(Config(args, data))
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    cold_mask = (
+        jax.random.uniform(k1, (data.item_num,)) < 0.4
+    ) & m._eligible
+    x_all = m._item_x(m.params)
+    tp = data.train_pairs
+    eidx = np.asarray(
+        jax.random.randint(k2, (m.le_max,), 0, tp.shape[0])
+    )
+    e_u = jnp.asarray(tp[eidx, 0].astype(np.int32))
+    e_i = jnp.asarray(tp[eidx, 1].astype(np.int32))
+    h_e = m.params["user_emb"][e_u]
+
+    dense = m._edge_softmax_terms(m.params, h_e, e_u, e_i, x_all, cold_mask)
+    m._DENSE_ELEMS_CAP = 1  # force scan paths
+    chunk = m._edge_softmax_terms(m.params, h_e, e_u, e_i, x_all, cold_mask)
+    assert np.allclose(dense[0], chunk[0], atol=1e-5)  # pos logits
+    hv = np.asarray(dense[2])
+    assert np.array_equal(hv, np.asarray(chunk[2]))
+    assert np.allclose(
+        np.asarray(dense[1])[hv], np.asarray(chunk[1])[hv], atol=1e-4
+    )
+
+    # top-k users per cold item
+    h_u_bar = m.params["user_emb"]
+    cold = np.asarray(data.mapped_cold_item_idx)
+    x_cold = x_all[jnp.asarray(cold)]
+    k = min(5, data.user_num)
+    logits = m._edge_logits(m.params, h_u_bar, x_cold)
+    _, dense_top = jax.lax.top_k(logits.T, k)
+    chunk_top = m._topk_users_chunked(m.params, h_u_bar, x_cold, k)
+    # compare score SETS (ties may reorder indices)
+    ds = np.take_along_axis(
+        np.asarray(logits.T), np.asarray(dense_top), axis=1
+    )
+    cs = np.take_along_axis(np.asarray(logits.T), chunk_top, axis=1)
+    assert np.allclose(np.sort(ds, 1), np.sort(cs, 1), atol=1e-5)

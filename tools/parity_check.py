@@ -161,6 +161,13 @@ def main():
     p.add_argument("--cold_object", default="item", choices=["item", "user"])
     p.add_argument("--backbone", default="MF")
     p.add_argument("--keep", action="store_true")
+    p.add_argument(
+        "--shared_backbone", action="store_true",
+        help="convert the reference's trained backbone (.pt) into our npz "
+        "bus so BOTH sides consume the same artifact — removes backbone-"
+        "draw variance from cold-model comparisons (small datasets are "
+        "dominated by it otherwise)",
+    )
     args = p.parse_args()
 
     root = tempfile.mkdtemp(prefix="parity_")
@@ -173,7 +180,23 @@ def main():
         # train it once per side in the same sandbox
         print(f"== pre-training {bb} backbone on both sides ==")
         run_reference(root, bb, args.epochs, 1, cold_object=co)
-        run_ours(root, bb, args.epochs, 1, cold_object=co)
+        if args.shared_backbone:
+            import torch
+
+            emb = os.path.join(root, "emb")
+            tabs = {
+                f"{side}_emb": torch.load(
+                    os.path.join(
+                        emb, f"parity_cold_{co}_{bb}_{side}_emb.pt"
+                    ),
+                    map_location="cpu",
+                ).detach().numpy()
+                for side in ("user", "item")
+            }
+            np.savez(os.path.join(emb, f"parity_cold_{co}_{bb}_emb.npz"), **tabs)
+            print("== shared backbone: reference artifact fed to both sides ==")
+        else:
+            run_ours(root, bb, args.epochs, 1, cold_object=co)
     if args.model == "AMR":
         # AMR consumes VBPR's saved tensors (AMR.py:94-124)
         print("== pre-training VBPR on both sides ==")
