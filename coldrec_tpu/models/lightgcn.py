@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.losses import bpr_loss, l2_reg_loss
-from ..ops.spmm import SparseGraph, make_sym_spmm, spmm
+from ..ops.spmm import SparseGraph, spmm
 from .common import xavier_uniform
 from .warm_base import WarmBackboneTrainer
 
@@ -41,7 +41,7 @@ class LightGCN(WarmBackboneTrainer):
     def __init__(self, config):
         super().__init__(config)
         self.n_layers = int(self.args.layers)
-        self.graph = make_sym_spmm(self.data.norm_adj)
+        self.graph = self.build_graph()
         k1, k2 = jax.random.split(self.next_key())
         self.params = {
             "user_emb": xavier_uniform(k1, (self.data.user_num, self.emb_size)),

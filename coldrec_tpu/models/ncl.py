@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..ops.kmeans import kmeans
 from ..ops.losses import _normalize, bpr_loss, l2_reg_loss
-from ..ops.spmm import make_sym_spmm, spmm
+from ..ops.spmm import spmm
 from .common import xavier_uniform
 from .warm_base import WarmBackboneTrainer
 
@@ -51,7 +51,7 @@ class NCL(WarmBackboneTrainer):
         self.alpha = float(self.args.alpha)
         self.proto_reg = float(self.args.proto_reg)
         self.k = int(self.args.num_clusters)
-        self.graph = make_sym_spmm(self.data.norm_adj)
+        self.graph = self.build_graph()
         k1, k2 = jax.random.split(self.next_key())
         self.params = {
             "user_emb": xavier_uniform(k1, (self.data.user_num, self.emb_size)),

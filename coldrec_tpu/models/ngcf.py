@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.losses import bpr_loss, l2_reg_loss
-from ..ops.spmm import make_sym_spmm, spmm
+from ..ops.spmm import spmm
 from .common import linear, linear_params, xavier_uniform
 from .warm_base import WarmBackboneTrainer
 
@@ -18,7 +18,7 @@ class NGCF(WarmBackboneTrainer):
     def __init__(self, config):
         super().__init__(config)
         self.n_layers = int(self.args.layers)
-        self.graph = make_sym_spmm(self.data.norm_adj)
+        self.graph = self.build_graph()
         keys = jax.random.split(self.next_key(), 2 + 2 * self.n_layers)
         self.params = {
             "user_emb": xavier_uniform(

@@ -82,6 +82,27 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
                 lambda x: jax.device_put(x, rep), self.net_state
             )
 
+    def build_graph(self):
+        """Normalized-adjacency SpMM operator for the LightGCN family:
+        mesh-sharded (rows+edges over the model axis, SURVEY §2.5 "SpMM
+        sharding") when --mesh has a model axis > 1, otherwise the hybrid
+        ELL+COO single-chip path with the symmetric custom VJP."""
+        from ..ops.spmm import make_sym_spmm
+
+        spec = str(getattr(self.args, "mesh", "") or "")
+        if spec:
+            n_data, n_model = (int(v) for v in spec.lower().split("x"))
+            if n_model > 1:
+                from ..parallel.mesh import make_mesh
+                from ..parallel.ops import make_mesh_graph
+
+                return make_mesh_graph(
+                    make_mesh(n_data, n_model),
+                    self.data.norm_adj,
+                    self.data.user_num + self.data.item_num,
+                )
+        return make_sym_spmm(self.data.norm_adj)
+
     def _place_batch(self, batch):
         if self._batch_sharding is None:
             return batch

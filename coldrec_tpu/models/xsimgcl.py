@@ -17,7 +17,7 @@ from ..ops.losses import (
     l2_reg_loss,
     unique_padded,
 )
-from ..ops.spmm import make_sym_spmm, spmm
+from ..ops.spmm import spmm
 from .common import xavier_uniform
 from .warm_base import WarmBackboneTrainer
 
@@ -37,7 +37,7 @@ class XSimGCL(WarmBackboneTrainer):
         self.eps = float(self.args.eps)
         self.cl_rate = float(self.args.cl_rate)
         self.tau = float(self.args.tau)
-        self.graph = make_sym_spmm(self.data.norm_adj)
+        self.graph = self.build_graph()
         k1, k2 = jax.random.split(self.next_key())
         self.params = {
             "user_emb": xavier_uniform(k1, (self.data.user_num, self.emb_size)),

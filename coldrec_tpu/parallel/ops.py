@@ -159,3 +159,28 @@ def sharded_masked_topk(
         out_specs=(P(), P()),
     )
     return fm(user_emb, item_emb, excluded)
+
+
+def make_mesh_graph(mesh: Mesh, host_graph, n_nodes: int):
+    """Â@x operator with edges and rows sharded over the model axis — a
+    drop-in for the single-chip ``make_sym_spmm`` closure (ops/spmm.py
+    dispatches on callables). Pads the node space to the axis size
+    internally; pad rows have no edges so they stay zero. Each layer's
+    collective pattern: all_gather of the input rows over ICI, local
+    gather+segment-sum, output rows owned exclusively per shard (no psum).
+    """
+    n_model = mesh.shape[AXIS_MODEL]
+    n_pad_total = n_nodes + ((-n_nodes) % n_model)
+    sg = ShardedGraph(mesh, host_graph, n_pad_total)
+    row = NamedSharding(mesh, P(AXIS_MODEL, None))
+
+    def apply(x):
+        pad = n_pad_total - n_nodes
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0
+            )
+        x = jax.lax.with_sharding_constraint(x, row)
+        return sharded_spmm(sg, x)[:n_nodes]
+
+    return apply

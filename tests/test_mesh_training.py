@@ -91,3 +91,27 @@ def test_mesh_graph_model(data):
     np.testing.assert_allclose(
         np.asarray(dp.user_emb), np.asarray(base.user_emb), atol=5e-5
     )
+
+
+def test_lightgcn_sharded_spmm_matches_single_device(data):
+    """--mesh 2x4 routes LightGCN propagation through the mesh-sharded SpMM
+    (rows+edges over the model axis); results must match the single-chip
+    ELL path bit-for-bit up to reduction order."""
+    base = _run(data, "", model_name="LightGCN", layers=2)
+    tp = _run(data, "2x4", model_name="LightGCN", layers=2)
+    np.testing.assert_allclose(
+        np.asarray(tp.user_emb), np.asarray(base.user_emb), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp.item_emb), np.asarray(base.item_emb), atol=3e-5
+    )
+    assert tp.overall_test_results == base.overall_test_results
+
+
+def test_xsimgcl_sharded_spmm_matches_single_device(data):
+    base = _run(data, "", model_name="XSimGCL", layers=2)
+    tp = _run(data, "2x4", model_name="XSimGCL", layers=2)
+    np.testing.assert_allclose(
+        np.asarray(tp.user_emb), np.asarray(base.user_emb), atol=5e-5
+    )
+    assert tp.overall_test_results == base.overall_test_results
