@@ -42,6 +42,13 @@ COMMON_DEFAULTS = dict(
     # retrieval sweep backend: "xla" (fused by XLA, fastest today) or
     # "pallas" (the fused kernel in ops/pallas/retrieval.py)
     eval_backend="xla",
+    # write a jax.profiler trace (viewable in TensorBoard/Perfetto) for the
+    # whole run to this directory; empty = off (framework addition,
+    # SURVEY §5.1 — the reference has wall-clock timing only)
+    profile="",
+    # jax.config.jax_debug_nans: fail fast at the op that produced a NaN
+    # (framework addition, SURVEY §5.2)
+    debug_nans=False,
 )
 
 

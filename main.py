@@ -33,6 +33,26 @@ def _args_to_serializable(ns):
 
 
 def run(args) -> dict:
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    profile_dir = str(getattr(args, "profile", "") or "")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+    try:
+        return _run(args)
+    finally:
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to: {profile_dir}")
+
+
+def _run(args) -> dict:
     config = Config(args)
     top_ns = [int(x) for x in str(args.topN).split(",")]
     settings = ["all", "cold", "warm"]
