@@ -124,6 +124,14 @@ class BaseColdStartTrainer(ABC):
         uid = self.data.map_users(np.array([raw_user]))
         return np.asarray(jax.device_get(self.batch_scores(uid.astype(np.int32))))[0]
 
+    def batch_predict(self, raw_users) -> np.ndarray:
+        """(len(raw_users), item_num) scores for a list of raw user ids
+        (reference batch_predict(), MF.py:58-63)."""
+        uid = self.data.map_users(np.asarray(raw_users))
+        return np.asarray(
+            jax.device_get(self.batch_scores(uid.astype(np.int32)))
+        )
+
     # ------------------------------------------------------------- plumbing
     def next_key(self) -> jax.Array:
         self.rng_key, sub = jax.random.split(self.rng_key)

@@ -187,6 +187,74 @@ class RandomTrial:
         return v
 
 
+TPE_STARTUP_TRIALS = 10  # pure-random warmup before density modelling
+TPE_GAMMA = 0.25  # fraction of history treated as "good"
+TPE_EXPLORE = 0.2  # probability of a uniform-prior draw per parameter
+
+
+class TPETrial(RandomTrial):
+    """Univariate TPE-style sampler over the journal history (the optuna
+    fallback when the image ships no optuna; SURVEY §2.1 Hyperparam search).
+
+    Completed trials are split at the TPE_GAMMA quantile of the objective;
+    each parameter is drawn to favour values dense under the good split:
+    categoricals/ints by a smoothed good/bad count ratio, floats by a
+    Parzen draw around a random good observation (log-space when the space
+    is log-uniform). Conditional params use only trials where they appear.
+    """
+
+    def __init__(self, rng: random.Random, history):
+        super().__init__(rng)
+        done = sorted(
+            (r for r in history if r["value"] != float("-inf")),
+            key=lambda r: r["value"],
+            reverse=True,
+        )
+        n_good = max(1, int(len(done) * TPE_GAMMA))
+        self.good = [r["params"] for r in done[:n_good]]
+        self.bad = [r["params"] for r in done[n_good:]]
+
+    def _obs(self, split, name):
+        return [p[name] for p in split if name in p]
+
+    def suggest_categorical(self, name, choices):
+        choices = list(choices)
+        if self.rng.random() < TPE_EXPLORE:
+            return super().suggest_categorical(name, choices)
+        good, bad = self._obs(self.good, name), self._obs(self.bad, name)
+        if not good:
+            return super().suggest_categorical(name, choices)
+        weights = [
+            (good.count(c) + 1.0) / (bad.count(c) + 1.0) for c in choices
+        ]
+        v = self.rng.choices(choices, weights=weights, k=1)[0]
+        self.params[name] = v
+        return v
+
+    def suggest_int(self, name, lo, hi):
+        if hi - lo + 1 <= 64:
+            return int(self.suggest_categorical(name, range(lo, hi + 1)))
+        v = int(round(self.suggest_float(name, lo, hi)))
+        v = min(max(v, lo), hi)
+        self.params[name] = v
+        return v
+
+    def suggest_float(self, name, lo, hi, log=False):
+        if self.rng.random() < TPE_EXPLORE:
+            return super().suggest_float(name, lo, hi, log=log)
+        good = [v for v in self._obs(self.good, name) if lo <= v <= hi]
+        if not good:
+            return super().suggest_float(name, lo, hi, log=log)
+        xform = math.log if log else (lambda x: x)
+        inv = math.exp if log else (lambda x: x)
+        center = xform(self.rng.choice(good))
+        bw = (xform(hi) - xform(lo)) / math.sqrt(len(good) + 1.0)
+        v = inv(min(max(self.rng.gauss(center, bw), xform(lo)), xform(hi)))
+        v = min(max(v, lo), hi)  # exp(log(lo)) can round 1 ulp below lo
+        self.params[name] = v
+        return v
+
+
 def search_result_slug(args) -> str:
     return (
         f"{args.model}_{args.dataset}_{args.cold_object}_bb_{args.backbone}_cs"
@@ -211,7 +279,10 @@ def run_trial(args) -> float:
 
 
 def random_search(args, n_trials: int, param_dir="./param") -> dict:
-    """Resumable random search: journal in ./param/search_<slug>.jsonl."""
+    """Resumable fallback search: journal in ./param/search_<slug>.jsonl.
+
+    Pure random for the first TPE_STARTUP_TRIALS completed trials, then the
+    univariate TPE-lite sampler over the journal history."""
     os.makedirs(param_dir, exist_ok=True)
     journal = os.path.join(param_dir, f"search_{search_result_slug(args)}.jsonl")
     done = []
@@ -222,7 +293,11 @@ def random_search(args, n_trials: int, param_dir="./param") -> dict:
     start = len(done)
     for t in range(start, n_trials):
         rng = random.Random(hash((search_result_slug(args), t)) & 0xFFFFFFFF)
-        trial = RandomTrial(rng)
+        finished = [r for r in done if r["value"] != float("-inf")]
+        if len(finished) >= TPE_STARTUP_TRIALS:
+            trial = TPETrial(rng, done)
+        else:
+            trial = RandomTrial(rng)
         apply_suggestions(trial, args)
         try:
             value = run_trial(args)
@@ -230,6 +305,7 @@ def random_search(args, n_trials: int, param_dir="./param") -> dict:
             print(f"trial {t} failed: {exc}")
             value = float("-inf")
         rec = {"trial": t, "params": trial.params, "value": value}
+        done.append(rec)  # in-memory history feeds the TPE sampler
         with open(journal, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if value != float("-inf") and (best is None or value > best["value"]):

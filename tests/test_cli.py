@@ -80,3 +80,52 @@ def test_random_search_backend(dataset_dir, tmp_path, monkeypatch):
     n_before = len(open(journal).readlines())
     param_search.random_search(args, n_trials=2, param_dir=str(tmp_path / "param"))
     assert len(open(journal).readlines()) == n_before
+
+
+def test_tpe_sampler_concentrates_on_good_region():
+    """TPE-lite: after a history where lr=1e-3 scores high, the sampler
+    should draw lr=1e-3 far more often than uniform; floats concentrate
+    around the good cluster in log space."""
+    import math
+    import random
+
+    import param_search
+
+    choices = [1e-4, 5e-3, 1e-3, 5e-2, 1e-2]
+    history = []
+    for t in range(40):
+        lr = choices[t % len(choices)]
+        reg = math.exp(random.Random(t).uniform(math.log(1e-8), math.log(1e-4)))
+        value = (1.0 if lr == 1e-3 else 0.1) + (0.5 if reg < 1e-6 else 0.0)
+        history.append(
+            {"trial": t, "params": {"lr": lr, "ssl_reg": reg}, "value": value}
+        )
+
+    rng = random.Random(0)
+    hits = sum(
+        param_search.TPETrial(rng, history).suggest_categorical("lr", choices)
+        == 1e-3
+        for _ in range(300)
+    )
+    assert hits > 150, hits  # uniform would give ~60/300
+
+    small = sum(
+        param_search.TPETrial(rng, history).suggest_float(
+            "ssl_reg", 1e-8, 1e-4, log=True
+        )
+        < 1e-6
+        for _ in range(300)
+    )
+    assert small > 150, small  # uniform-in-log would give ~100/300
+
+    # never leaves the bounds
+    for _ in range(200):
+        v = param_search.TPETrial(rng, history).suggest_float(
+            "ssl_reg", 1e-8, 1e-4, log=True
+        )
+        assert 1e-8 <= v <= 1e-4
+
+    # unknown param / empty history degrade to uniform without error
+    empty = param_search.TPETrial(rng, [])
+    assert empty.suggest_categorical("lr", choices) in choices
+    assert 1 <= empty.suggest_int("layers", 1, 3) <= 3

@@ -48,6 +48,10 @@ def test_single_user_predict(data, tmp_path):
     assert np.isfinite(scores).all()
     with pytest.raises(KeyError):
         model.predict(10**7)
+    raw_users = [int(data.id2user[i]) for i in (0, 1, 2)]
+    batch = model.batch_predict(raw_users)
+    assert batch.shape == (3, data.item_num)
+    np.testing.assert_allclose(batch[0], scores, atol=1e-6)
 
 
 def test_event_log_written(data, tmp_path, monkeypatch):
