@@ -15,7 +15,7 @@ from datetime import datetime
 import numpy as np
 
 from coldrec_tpu.config import make_args
-from coldrec_tpu.models import AVAILABLE_MODELS, model_factory
+from coldrec_tpu.models import model_factory
 from coldrec_tpu.runtime.trainer import Config
 from coldrec_tpu.utils.seeding import set_seed
 

@@ -19,7 +19,6 @@ import os
 import pickle
 import random
 
-import main as cli_main
 from coldrec_tpu.config import make_args
 from coldrec_tpu.models import model_factory
 from coldrec_tpu.runtime.trainer import Config
