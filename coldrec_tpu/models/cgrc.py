@@ -242,7 +242,11 @@ class CGRC(ColdStartModelBase):
             lse = jax.nn.logsumexp(jnp.where(valid, logits, neg_inf), axis=1)
             return pos, lse, jnp.any(valid, axis=1)
 
-        blk = max(256, min(4096, self._DENSE_ELEMS_CAP // (self.le_max * hsz)))
+        # remat bounds live memory to ONE block, so the scan block can be
+        # 2x the dense cap (fewer, larger steps amortize scan overhead)
+        blk = max(
+            256, min(8192, 2 * self._DENSE_ELEMS_CAP // (self.le_max * hsz))
+        )
         pad = (-n_i) % blk
         xi_pad = (
             jnp.concatenate([xi_all, jnp.zeros((pad, hsz), xi_all.dtype)])
@@ -262,6 +266,10 @@ class CGRC(ColdStartModelBase):
             p = jnp.minimum(jnp.searchsorted(row, q), row.shape[0] - 1)
             return row[p] == q
 
+        # jax.checkpoint: reverse-mode through scan would otherwise stash
+        # every step's (E, blk, H) relu residual — 141 GB at book-crossing
+        # scale; remat recomputes the block logits in the backward instead.
+        @jax.checkpoint
         def body(carry, idx):
             m, s = carry  # running max (E,), running sum-exp (E,)
             lg = self._block_logits(params, hu, xi_pad[idx])  # (E, blk)
