@@ -59,21 +59,103 @@ def build_dataset(root: str, scale: str, seed: int = 11, cold_object: str = "ite
     return res
 
 
+# Functional numpy faiss shim: lets the UNMODIFIED reference run KNN
+# (IndexFlatIP = exact matmul + argpartition, KNN.py:63-88) and NCL
+# (Kmeans = seeded Lloyd + IndexFlatL2 assignment, NCL.py:38-55). The
+# `builtins.np` injection covers NCL.py:40's use of `np` without an import
+# (documented reference bug, SURVEY §7). Exactness: IndexFlatIP is exact;
+# Kmeans is statistically equivalent (faiss's own clustering is seed- and
+# implementation-dependent; NCL's ProtoNCE only consumes cluster structure).
+FAISS_SHIM = '''\
+import builtins
+import numpy as np
+
+builtins.np = np  # NCL.py uses `np` at module run_kmeans without importing it
+
+
+class _FlatIndex:
+    def __init__(self, d):
+        self.d = int(d)
+        self._chunks = []
+
+    def add(self, x):
+        self._chunks.append(np.ascontiguousarray(x, dtype=np.float32))
+
+    @property
+    def _x(self):
+        return (np.concatenate(self._chunks)
+                if len(self._chunks) != 1 else self._chunks[0])
+
+    def _rank(self, scores, k):
+        # top-k by score descending, exact, deterministic tie-break by index
+        n = scores.shape[1]
+        k = min(int(k), n)
+        if k < n:
+            idx = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
+        else:
+            idx = np.broadcast_to(np.arange(n), scores.shape).copy()
+        part = np.take_along_axis(scores, idx, axis=1)
+        order = np.lexsort((idx, -part), axis=1)[:, :k]
+        I = np.take_along_axis(idx, order, axis=1)
+        D = np.take_along_axis(part, order, axis=1)
+        return D.astype(np.float32), I.astype(np.int64)
+
+
+class IndexFlatIP(_FlatIndex):
+    def search(self, q, k):
+        q = np.asarray(q, dtype=np.float32)
+        return self._rank(q @ self._x.T, k)
+
+
+class IndexFlatL2(_FlatIndex):
+    def search(self, q, k):
+        q = np.asarray(q, dtype=np.float32)
+        x = self._x
+        d2 = ((q * q).sum(1)[:, None] - 2.0 * (q @ x.T)
+              + (x * x).sum(1)[None, :])
+        D, I = self._rank(-d2, k)
+        return (-D).astype(np.float32), I
+
+
+class Kmeans:
+    def __init__(self, d, k, gpu=False, niter=20, seed=1234, **kw):
+        self.d, self.k = int(d), int(k)
+        self.niter, self.seed = int(niter), int(seed)
+        self.centroids = None
+        self.index = None
+
+    def train(self, x):
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        n = x.shape[0]
+        rng = np.random.default_rng(self.seed)
+        init = rng.choice(n, size=self.k, replace=n < self.k)
+        c = x[init].copy()
+        for _ in range(self.niter):
+            d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ c.T)
+                  + (c * c).sum(1)[None, :])
+            assign = d2.argmin(1)
+            counts = np.bincount(assign, minlength=self.k)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, x)
+            upd = sums / np.maximum(counts, 1)[:, None]
+            c = np.where((counts == 0)[:, None], c, upd)
+            empty = np.flatnonzero(counts == 0)
+            if empty.size:  # faiss splits big clusters; random restart is the
+                c[empty] = x[rng.choice(n, size=empty.size)]  # simple analog
+        self.centroids = c.astype(np.float32)
+        self.index = IndexFlatL2(self.d)
+        self.index.add(self.centroids)
+'''
+
+
 def run_reference(root: str, model: str, epochs: int, runs: int, extra=(),
                   cold_object: str = "item", backbone: str = "MF"):
     """Run the unmodified reference CLI in a sandbox cwd."""
     os.makedirs(os.path.join(root, "emb"), exist_ok=True)
-    # stub modules the reference imports at module scope but that the image
-    # doesn't ship (faiss — used only by KNN/NCL, not the models under test)
     shim = os.path.join(root, "_shims")
     os.makedirs(shim, exist_ok=True)
     with open(os.path.join(shim, "faiss.py"), "w") as f:
-        f.write(
-            "class _Missing:\n"
-            "    def __init__(self, *a, **k):\n"
-            "        raise ImportError('faiss not available in this image')\n"
-            "IndexFlatIP = Kmeans = _Missing\n"
-        )
+        f.write(FAISS_SHIM)
     result_file = os.path.join(root, "ref_result.txt")
     env = dict(os.environ)
     env["PYTHONPATH"] = REFERENCE + os.pathsep + shim
@@ -118,14 +200,21 @@ def parse_result_json(path: str) -> dict:
     return json.loads(blob)
 
 
-def compare(ref: dict, ours: dict, top_n="20") -> dict:
-    out = {"top_n": top_n, "metrics": {}, "pass": True}
+def compare(ref: dict, ours: dict, top_n="20", runs: int = 2) -> dict:
+    """Diff all four reference metrics (evaluator.py:17-115) per setting.
+
+    Tolerance is based on the standard error of the difference of the two
+    run-means (2·SE + 0.005 floor), so adding runs tightens the check
+    instead of widening it — the round-1 3·max(std)+0.02 rule let a 4×
+    cold-metric gap pass (VERDICT round 1, "what's weak" #1).
+    """
+    out = {"top_n": top_n, "runs": runs, "metrics": {}, "pass": True}
     for setting in ("all", "cold", "warm"):
-        for metric in ("Recall", "NDCG"):
+        for metric in ("Hit", "Precision", "Recall", "NDCG"):
             r = ref["metrics"][top_n][setting][metric]
             o = ours["metrics"][top_n][setting][metric]
-            # tolerance: 3x the pooled run std + 0.02 absolute floor
-            tol = 3.0 * max(r["std"], o["std"]) + 0.02
+            se = ((r["std"] ** 2 + o["std"] ** 2) / max(runs, 1)) ** 0.5
+            tol = 2.0 * se + 0.005
             diff = abs(r["mean"] - o["mean"])
             within = diff <= tol
             beats = o["mean"] > r["mean"] + tol
@@ -156,7 +245,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="MF")
     p.add_argument("--epochs", type=int, default=30)
-    p.add_argument("--runs", type=int, default=2)
+    p.add_argument("--runs", type=int, default=5)
     p.add_argument("--scale", default="small", choices=list(SCALES))
     p.add_argument("--cold_object", default="item", choices=["item", "user"])
     p.add_argument("--backbone", default="MF")
@@ -175,7 +264,7 @@ def main():
     build_dataset(root, args.scale, cold_object=args.cold_object)
     co, bb = args.cold_object, args.backbone
     if args.model not in ("MF", "LightGCN", "NGCF", "SimGCL", "XSimGCL",
-                          "DUIF", "FSGNN", "CGRC"):
+                          "NCL", "KNN", "DUIF", "FSGNN", "CGRC"):
         # cold models load the backbone from each framework's own bus:
         # train it once per side in the same sandbox
         print(f"== pre-training {bb} backbone on both sides ==")
@@ -206,7 +295,9 @@ def main():
                         cold_object=co, backbone=bb)
     ours = run_ours(root, args.model, args.epochs, args.runs,
                     cold_object=co, backbone=bb)
-    verdict = compare(ref, ours)
+    verdict = compare(ref, ours, runs=args.runs)
+    verdict["scale"] = args.scale
+    verdict["epochs"] = args.epochs
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"PARITY_{args.model}{'' if args.cold_object == 'item' else '_user'}.json",
