@@ -298,6 +298,7 @@ def main():
     verdict = compare(ref, ours, runs=args.runs)
     verdict["scale"] = args.scale
     verdict["epochs"] = args.epochs
+    verdict["shared_backbone"] = bool(args.shared_backbone)
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"PARITY_{args.model}{'' if args.cold_object == 'item' else '_user'}.json",
