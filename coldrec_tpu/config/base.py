@@ -39,9 +39,11 @@ COMMON_DEFAULTS = dict(
     # DP+TP with row-sharded tables; empty = single-device (framework
     # addition; the reference is strictly single-device)
     mesh="",
-    # retrieval sweep backend: "xla" (fused by XLA, fastest today) or
-    # "pallas" (the fused kernel in ops/pallas/retrieval.py)
-    eval_backend="xla",
+    # retrieval sweep backend: "auto" routes factored-embedding models
+    # through the fused Pallas kernel (ops/pallas/retrieval.py) on TPU
+    # once item_num >= 32768 (50x the XLA path at book-crossing scale,
+    # tools/ubench_retrieval.py); "xla" / "pallas" force a path.
+    eval_backend="auto",
     # write a jax.profiler trace (viewable in TensorBoard/Perfetto) for the
     # whole run to this directory; empty = off (framework addition,
     # SURVEY §5.1 — the reference has wall-clock timing only)

@@ -170,16 +170,15 @@ class EvalSweep:
 
         st = self._prepare(split_name, data_type)
         users = st["user_chunks"].reshape(-1)[: st["n_users"]]
-        rated = np.asarray(st["rated_chunks"]).reshape(
+        rated = st["rated_chunks"].reshape(
             -1, st["rated_chunks"].shape[-1]
         )[: st["n_users"]]
-        excluded = np.asarray(st["bias"])
-        ue = np.asarray(user_emb)[users]
+        ue = jnp.asarray(user_emb)[jnp.asarray(users)]
         _, ids = retrieval_topk(
             ue,
-            np.asarray(item_emb),
-            rated.astype(np.int32),
-            excluded,
+            jnp.asarray(item_emb),
+            rated,
+            st["bias"],
             self.max_n,
             interpret=interpret,
         )

@@ -156,14 +156,24 @@ class BaseColdStartTrainer(ABC):
     # ----------------------------------------------------------------- eval
     def _rec_lists(self, phase: str, data_type: str) -> np.ndarray:
         split = _SETTING_SPLITS[(data_type, phase)]
-        if (
-            str(getattr(self.args, "eval_backend", "xla")) == "pallas"
-            and getattr(self, "user_emb", None) is not None
+        backend = str(getattr(self.args, "eval_backend", "auto"))
+        factored = (
+            getattr(self, "user_emb", None) is not None
             and getattr(self, "item_emb", None) is not None
-        ):
+        )
+        on_tpu = jax.devices()[0].platform == "tpu"
+        # auto: the fused Pallas sweep wins ~50x once the item space is
+        # wide enough that XLA must materialize the (B, I) score plane
+        # (tools/ubench_retrieval.py: 90.8 vs 1.8 G pairs/s at 270k items);
+        # below the threshold the plane fits cache-side and XLA is fine.
+        use_pallas = factored and (
+            backend == "pallas"
+            or (backend == "auto" and on_tpu and self.data.item_num >= 32768)
+        )
+        if use_pallas:
             return self.sweep.run_pallas(
                 split, data_type, self.user_emb, self.item_emb,
-                interpret=jax.devices()[0].platform != "tpu",
+                interpret=not on_tpu,
             )
         return self.sweep.run(split, data_type, self.batch_scores)
 

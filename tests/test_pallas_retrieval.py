@@ -3,7 +3,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from coldrec_tpu.ops.pallas.retrieval import build_mask_tile, retrieval_topk
+from coldrec_tpu.ops.pallas.retrieval import SLOTS, retrieval_topk
 from coldrec_tpu.runtime.eval import masked_topk
 
 
@@ -21,7 +21,7 @@ def test_retrieval_matches_masked_topk(rng, n_items):
     excluded[rng.choice(n_items, n_items // 4, replace=False)] = True
 
     vals, ids = retrieval_topk(
-        ue, ie, rated, excluded, k, tile_u=16, block_i=64, interpret=True
+        ue, ie, rated, excluded, k, tile_u=16, block_i=128, interpret=True
     )
 
     scores = jnp.asarray(ue) @ jnp.asarray(ie).T
@@ -42,15 +42,50 @@ def test_retrieval_matches_masked_topk(rng, n_items):
         assert not (got & set(rated[u][rated[u] < n_items].tolist()))
 
 
-def test_build_mask_tile(rng):
-    n_items, tu = 50, 8
-    rated = np.full((tu, 5), n_items, dtype=np.int32)
-    rated[0, :2] = [3, 7]
+def test_high_scoring_rated_items_rejected(rng):
+    """Rated items are NOT masked in-kernel (overfetch-then-reject); they
+    must still never surface even when they dominate the score scale."""
+    n_items, d, k = 512, 16, 10
+    ue = np.zeros((4, d), dtype=np.float32)
+    ue[:, 0] = 1.0
+    ie = rng.standard_normal((n_items, d)).astype(np.float32) * 0.01
+    hot = rng.choice(n_items, 24, replace=False).astype(np.int32)
+    ie[hot, 0] = 50.0  # rated items score far above everything else
+    rated = np.tile(np.sort(hot), (4, 1)).astype(np.int32)
     excluded = np.zeros(n_items, dtype=bool)
-    excluded[10] = True
-    plane = np.asarray(build_mask_tile(jnp.asarray(rated), jnp.asarray(excluded), 64))
-    assert plane.shape == (tu, 64)
-    assert plane[0, 3] == 1 and plane[0, 7] == 1
-    assert (plane[:, 10] == 1).all()
-    assert (plane[:, 50:] == 1).all()  # padded region excluded
-    assert plane[1, 3] == 0
+    vals, ids = retrieval_topk(
+        ue, ie, rated, excluded, k, tile_u=4, block_i=128, interpret=True
+    )
+    scores = jnp.asarray(ue) @ jnp.asarray(ie).T
+    ref_vals, _ = masked_topk(
+        scores, jnp.asarray(rated), jnp.asarray(excluded), k
+    )
+    np.testing.assert_allclose(vals, np.asarray(ref_vals), rtol=1e-4, atol=1e-5)
+    assert not (set(ids.ravel().tolist()) & set(hot.tolist()))
+
+
+def test_lane_collision_triggers_exact_fallback(rng):
+    """>SLOTS of the true top-k in one mod-128 lane class: the ghost bound
+    must flag the user and the fallback must return the exact top-k."""
+    n_items, d, k = 2048, 16, SLOTS + 4
+    n_plant = SLOTS + 2  # overflows the running per-lane list -> eviction
+    ue = np.zeros((8, d), dtype=np.float32)
+    ue[:, 0] = 1.0
+    ie = rng.standard_normal((n_items, d)).astype(np.float32) * 0.01
+    # plant items in lane class 0 (ids 0, 128, ...) as the global top set
+    plant = [iid for iid in range(0, n_plant * 128, 128)]
+    for rank, iid in enumerate(plant):
+        ie[iid] = 0.0
+        ie[iid, 0] = 100.0 - rank
+    rated = np.full((8, 4), n_items, dtype=np.int32)
+    excluded = np.zeros(n_items, dtype=bool)
+    vals, ids = retrieval_topk(
+        ue, ie, rated, excluded, k, tile_u=8, block_i=256, interpret=True
+    )
+    scores = jnp.asarray(ue) @ jnp.asarray(ie).T
+    ref_vals, ref_ids = masked_topk(
+        scores, jnp.asarray(rated), jnp.asarray(excluded), k
+    )
+    np.testing.assert_allclose(vals, np.asarray(ref_vals), rtol=1e-5)
+    # the planted top set shares a lane class; only exact fallback finds it
+    assert set(ids[0, :n_plant].tolist()) == set(plant)

@@ -127,21 +127,26 @@ def main():
 
         block_i = 2048
         ipad = rtr._round_up(I, block_i)
-        items = jnp.concatenate([ie, jnp.zeros((ipad - I, D), ie.dtype)])
+        items = jnp.concatenate(
+            [ie.T, jnp.zeros((D, ipad - I), ie.dtype)], axis=1)
         tile_u = 256
+        assert B % tile_u == 0, "bench users must be a tile multiple"
+        excl_row = np.ones((1, ipad), np.int8)
+        excl_row[0, :I] = np.asarray(excl).astype(np.int8)
+        excl_row = jnp.asarray(excl_row)
 
         def pallas_step(u):
-            dep = 0.0
-            for s in range(0, B, tile_u):
-                mask = rtr.build_mask_tile(
-                    rated[s : s + tile_u], excl, ipad)
-                v, _ = rtr.retrieval_topk_tile(
-                    u[s : s + tile_u], items, mask, K, block_i)
-                dep = dep + EPS * v[0, 0]
-            return u + dep
+            cv, ci, gh = rtr._fused_sweep(u, items, excl_row, tile_u, block_i)
+            v, _, sus = rtr._resolve(cv, ci, gh, rated, K)
+            return u + EPS * (v[:, :1] + sus[:, None].astype(u.dtype))
 
-        report("Pallas r1 kernel", chain_time(
-            lambda c: (pallas_step(c), None), ue, max(2, args.iters // 4)))
+        report("Pallas fused (kernel+resolve)", chain_time(
+            lambda c: (pallas_step(c), None), ue, args.iters))
+
+        cv, ci, gh = rtr._fused_sweep(ue, items, excl_row, tile_u, block_i)
+        _, _, sus = rtr._resolve(cv, ci, gh, rated, K)
+        print(f"  ghost-flagged users: {int(np.asarray(sus).sum())}/{B} "
+              f"(exact-fallback rate)")
 
 
 if __name__ == "__main__":
