@@ -61,12 +61,44 @@ def pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
     return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
 
 
-def sharded_lookup(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray):
-    """Gather rows of a row-sharded table; ids replicated, result replicated."""
+def sharded_lookup(
+    mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray, mode: str = "auto"
+):
+    """Gather rows of a row-sharded table; ids replicated, result replicated.
 
-    def f(local, ids):
-        full = jax.lax.all_gather(local, AXIS_MODEL, tiled=True)
-        return full[ids]
+    Two comm strategies behind one signature (SURVEY §2.5 TP row):
+
+    * ``exchange`` — the id-exchange lookup: every shard gathers the id
+      rows it OWNS (others masked to zero) and a psum over the model axis
+      assembles the batch. Per-step comm is O(B·d) — independent of the
+      table height, so a 270k-row table costs the same wire bytes as a
+      1k-row one. This is the production path for large tables.
+    * ``gather`` — all-gather the whole table then index locally. Comm is
+      O(N·d) per step; cheaper only when the table is comparable to the
+      batch (N ≲ n_shards · B, e.g. MovieLens-scale tables), because the
+      psum moves B·d floats through every hop anyway.
+
+    ``auto`` picks ``exchange`` when N > n_shards * B. Gradients flow
+    through both (psum transposes to identity; the masked gather
+    transposes to a scatter-add into the owning shard's rows).
+    """
+    n_model = mesh.shape[AXIS_MODEL]
+    rps = table.shape[0] // n_model
+    if mode == "auto":
+        mode = "exchange" if table.shape[0] > n_model * ids.shape[0] else "gather"
+
+    if mode == "gather":
+        def f(local, ids):
+            full = jax.lax.all_gather(local, AXIS_MODEL, tiled=True)
+            return full[ids]
+    else:
+        def f(local, ids):
+            shard = jax.lax.axis_index(AXIS_MODEL)
+            loc = ids - shard * rps
+            own = (loc >= 0) & (loc < rps)
+            rows = local[jnp.where(own, loc, 0)]
+            rows = jnp.where(own[:, None], rows, 0.0)
+            return jax.lax.psum(rows, AXIS_MODEL)
 
     fm = shard_map(f, mesh, in_specs=(P(AXIS_MODEL, None), P()), out_specs=P())
     return fm(table, ids)

@@ -23,12 +23,67 @@ def mesh():
     return make_mesh(2, 4)
 
 
-def test_sharded_lookup(mesh, rng):
+@pytest.mark.parametrize("mode", ["gather", "exchange", "auto"])
+def test_sharded_lookup(mesh, rng, mode):
     table = rng.standard_normal((64, 16)).astype(np.float32)
     ids = rng.integers(0, 64, 32).astype(np.int32)
     sharded = shard_rows(mesh, jnp.asarray(table))
-    got = np.asarray(sharded_lookup(mesh, sharded, jnp.asarray(ids)))
+    got = np.asarray(sharded_lookup(mesh, sharded, jnp.asarray(ids), mode))
     np.testing.assert_allclose(got, table[ids], rtol=1e-6)
+
+
+def test_exchange_lookup_gradients(mesh, rng):
+    """Grad through the id-exchange lookup == dense one-hot scatter-add."""
+    table = rng.standard_normal((64, 16)).astype(np.float32)
+    ids = rng.integers(0, 64, 32).astype(np.int32)
+    cot = rng.standard_normal((32, 16)).astype(np.float32)
+
+    def loss(t, mode):
+        rows = sharded_lookup(mesh, t, jnp.asarray(ids), mode)
+        return jnp.sum(rows * cot)
+
+    g_ex = np.asarray(jax.grad(lambda t: loss(t, "exchange"))(
+        shard_rows(mesh, jnp.asarray(table))))
+    expect = np.zeros_like(table)
+    np.add.at(expect, ids, cot)
+    np.testing.assert_allclose(g_ex, expect, rtol=1e-5, atol=1e-6)
+
+
+def _collective_bytes(mesh, n_rows, batch, mode):
+    """Sum of collective operand bytes in the lowered HLO of one lookup."""
+    import re
+
+    table = jnp.zeros((n_rows, 16), jnp.float32)
+    ids = jnp.zeros((batch,), jnp.int32)
+    lowered = jax.jit(
+        lambda t, i: sharded_lookup(mesh, t, i, mode)
+    ).lower(jax.device_put(
+        table, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(AXIS_MODEL, None))), ids)
+    text = lowered.as_text()
+    total = 0
+    for op in ("all_reduce", "all_gather", "all_to_all"):
+        # region ops (all_reduce) carry their type on the closing line;
+        # search forward from each occurrence for the first result type
+        for m in re.finditer(rf'"stablehlo\.{op}"', text):
+            t = re.search(r"-> tensor<([0-9x]+)xf32>", text[m.end():])
+            if t:
+                dims = [int(d) for d in t.group(1).split("x")]
+                total += 4 * int(np.prod(dims))
+    return total
+
+
+def test_exchange_lookup_comm_scales_with_batch_not_table(mesh):
+    """VERDICT r1 task 4: per-step wire bytes must be O(B*d), flat in N."""
+    small = _collective_bytes(mesh, 64, 32, "exchange")
+    big = _collective_bytes(mesh, 4096, 32, "exchange")
+    assert small == big > 0, (small, big)
+    # the all-gather path by contrast scales with the table height
+    g_small = _collective_bytes(mesh, 64, 32, "gather")
+    g_big = _collective_bytes(mesh, 4096, 32, "gather")
+    assert g_big >= 32 * g_small > 0, (g_small, g_big)
+    # auto picks exchange once the table dwarfs the batch
+    assert _collective_bytes(mesh, 4096, 32, "auto") == big
 
 
 def test_sharded_spmm_matches_single_chip(mesh):
