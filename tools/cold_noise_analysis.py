@@ -134,8 +134,23 @@ def main():
     )
     names = ["Hit", "Precision", "Recall", "NDCG"]
     stats = {}
+    boot_rng = np.random.default_rng(7)
     for i, name in enumerate(names):
         col, ccol = null[:, i], corr[:, i]
+        # bootstrap the distribution of a mean over `runs` independent
+        # training draws — the quantity the parity harness actually
+        # compares; percentiles of the single-draw null undercover it
+        # because one heavy-tail draw (a popular cold item in a global
+        # top-20) shifts a 5-run mean by ~0.02
+        boots = {}
+        for runs in (2, 5):
+            bm = ccol[boot_rng.integers(0, ccol.size, (20000, runs))].mean(1)
+            boots[f"corr_mean{runs}_p1"] = round(
+                float(np.percentile(bm, 1)), 5
+            )
+            boots[f"corr_mean{runs}_p99"] = round(
+                float(np.percentile(bm, 99)), 5
+            )
         stats[f"cold.{name}@{args.topn}"] = {
             "null_mean": round(float(col.mean()), 5),
             "null_std": round(float(col.std(ddof=1)), 5),
@@ -143,6 +158,7 @@ def main():
             "corr_null_std": round(float(ccol.std(ddof=1)), 5),
             "corr_null_p2.5": round(float(np.percentile(ccol, 2.5)), 5),
             "corr_null_p97.5": round(float(np.percentile(ccol, 97.5)), 5),
+            **boots,
         }
         print(
             f"  {name}@{args.topn}: iid null = {col.mean():.5f} "
