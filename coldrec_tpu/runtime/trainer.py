@@ -162,13 +162,16 @@ class BaseColdStartTrainer(ABC):
             and getattr(self, "item_emb", None) is not None
         )
         on_tpu = jax.devices()[0].platform == "tpu"
-        # auto: the fused Pallas sweep wins ~50x once the item space is
-        # wide enough that XLA must materialize the (B, I) score plane
-        # (tools/ubench_retrieval.py: 90.8 vs 1.8 G pairs/s at 270k items);
-        # below the threshold the plane fits cache-side and XLA is fine.
+        # auto: the fused Pallas sweep is the production TPU path at EVERY
+        # width — XLA's masked_topk carries a ~13 ms fixed top-k cost per
+        # 2048-user chunk that dwarfs the scoring matmul (8-16x slower from
+        # I=512 up; 50-95x at 270k items — tools/ubench_retrieval.py).
+        # Round 1's "XLA near-peak" reading was a measurement artifact of
+        # the remote backend memoizing repeated identical dispatches; see
+        # PERF.md "Honest retrieval timings". XLA serves non-factored
+        # models (network scoring) and CPU runs.
         use_pallas = factored and (
-            backend == "pallas"
-            or (backend == "auto" and on_tpu and self.data.item_num >= 32768)
+            backend == "pallas" or (backend == "auto" and on_tpu)
         )
         if use_pallas:
             return self.sweep.run_pallas(
