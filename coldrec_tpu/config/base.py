@@ -40,9 +40,11 @@ COMMON_DEFAULTS = dict(
     # addition; the reference is strictly single-device)
     mesh="",
     # retrieval sweep backend: "auto" routes factored-embedding models
-    # through the fused Pallas kernel (ops/pallas/retrieval.py) on TPU
-    # once item_num >= 32768 (50x the XLA path at book-crossing scale,
-    # tools/ubench_retrieval.py); "xla" / "pallas" force a path.
+    # through the fused Pallas kernel (ops/pallas/retrieval.py) on TPU at
+    # every item width (8-16x the XLA path from I=512 up, 50-95x at
+    # book-crossing scale — tools/ubench_retrieval.py); "xla" / "pallas"
+    # force a path; "pallas_bf16" = opt-in serving mode with bf16 score
+    # tiles (f32 accumulate; exact top-k of the bf16-rounded scores).
     eval_backend="auto",
     # write a jax.profiler trace (viewable in TensorBoard/Perfetto) for the
     # whole run to this directory; empty = off (framework addition,

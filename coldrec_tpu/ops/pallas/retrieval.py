@@ -182,23 +182,36 @@ def _round_up(x, m):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("i_pad", "b_pad", "tile_u", "block_i", "k", "interpret"),
+    static_argnames=(
+        "i_pad", "b_pad", "tile_u", "block_i", "k", "interpret", "bf16"
+    ),
 )
 def _sweep_padded(
     user_emb, item_emb, rated_pad, excluded,
     i_pad: int, b_pad: int, tile_u: int, block_i: int, k: int,
-    interpret: bool,
+    interpret: bool, bf16: bool = False,
 ):
     """Pad + transpose ON DEVICE, sweep, resolve. Keeping the padding in
     jit means device-resident tables (the production eval case) never
     round-trip through the host — host-side numpy padding re-uploaded the
     69 MB book-crossing item table over the remote tunnel per call and
-    cost 100x more than the kernel."""
+    cost 100x more than the kernel.
+
+    ``bf16=True`` casts the embedding operands to bfloat16 before the
+    kernel (scores still accumulate in f32 via preferred_element_type):
+    halves item-block DMA and uses the MXU's native bf16 rate. The result
+    is the EXACT top-k of the bf16-rounded scores — near-tie orderings can
+    differ from the f32 path, so this mode is opt-in
+    (``--eval_backend pallas_bf16``), never the parity default.
+    """
     n_users, d = user_emb.shape
     n_items = item_emb.shape[0]
-    users = jnp.zeros((b_pad, d), user_emb.dtype).at[:n_users].set(user_emb)
+    dt = jnp.bfloat16 if bf16 else user_emb.dtype
+    user_emb = user_emb.astype(dt)
+    item_emb = item_emb.astype(dt)
+    users = jnp.zeros((b_pad, d), dt).at[:n_users].set(user_emb)
     items_t = (
-        jnp.zeros((d, i_pad), item_emb.dtype).at[:, :n_items].set(item_emb.T)
+        jnp.zeros((d, i_pad), dt).at[:, :n_items].set(item_emb.T)
     )
     rated = (
         jnp.full((b_pad, rated_pad.shape[1]), n_items, jnp.int32)
@@ -223,8 +236,12 @@ def retrieval_topk(
     tile_u: int = 256,
     block_i: int = 2048,
     interpret: bool = False,
+    bf16: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Full masked top-k sweep; returns (vals (U, k), ids (U, k)). Exact.
+    """Full masked top-k sweep; returns (vals (U, k), ids (U, k)). Exact
+    (with ``bf16=True``: the exact top-k of the bf16-rounded scores —
+    the ghost-flag fallback then also scores in bf16 so every row obeys
+    the same rounding).
 
     Accepts numpy or device arrays; device-resident inputs stay on device.
     """
@@ -240,7 +257,7 @@ def retrieval_topk(
     excl = jnp.asarray(excluded)
     vals_d, ids_d, suspicious = _sweep_padded(
         user_emb, item_emb, rated_ids, excl,
-        i_pad, b_pad, tile_u, block_i, k, interpret,
+        i_pad, b_pad, tile_u, block_i, k, interpret, bf16,
     )
     vals = np.array(vals_d)
     ids = np.array(ids_d)
@@ -258,15 +275,25 @@ def retrieval_topk(
             rated_ids[rows_d].astype(jnp.int32),
             excl,
             k,
+            bf16,
         )
         vals[rows] = np.asarray(fv)[: rows.size]
         ids[rows] = np.asarray(fi)[: rows.size]
     return vals, ids
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _exact_rows(users_rows, items, rated_rows, excluded, k: int):
-    """XLA fallback for ghost-flagged rows (exact masked_topk)."""
+@functools.partial(jax.jit, static_argnames=("k", "bf16"))
+def _exact_rows(users_rows, items, rated_rows, excluded, k: int,
+                bf16: bool = False):
+    """XLA fallback for ghost-flagged rows (exact masked_topk). Under
+    bf16 mode it reproduces the kernel's rounding: bf16 operands, f32
+    accumulation."""
     from ...runtime.eval import masked_topk
 
-    return masked_topk(users_rows @ items.T, rated_rows, excluded, k)
+    if bf16:
+        users_rows = users_rows.astype(jnp.bfloat16)
+        items = items.astype(jnp.bfloat16)
+    scores = jnp.dot(
+        users_rows, items.T, preferred_element_type=jnp.float32
+    )
+    return masked_topk(scores, rated_rows, excluded, k)

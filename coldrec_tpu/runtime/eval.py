@@ -163,9 +163,11 @@ class EvalSweep:
         user_emb: jnp.ndarray,
         item_emb: jnp.ndarray,
         interpret: bool = False,
+        bf16: bool = False,
     ) -> np.ndarray:
         """Same sweep through the fused Pallas retrieval kernel
-        (ops/pallas/retrieval.py) — selected with --eval_backend pallas."""
+        (ops/pallas/retrieval.py) — selected with --eval_backend pallas
+        (or pallas_bf16 for bf16 score tiles, see retrieval.py)."""
         from ..ops.pallas.retrieval import retrieval_topk
 
         st = self._prepare(split_name, data_type)
@@ -181,5 +183,6 @@ class EvalSweep:
             st["bias"],
             self.max_n,
             interpret=interpret,
+            bf16=bf16,
         )
         return ids

@@ -170,13 +170,17 @@ class BaseColdStartTrainer(ABC):
         # the remote backend memoizing repeated identical dispatches; see
         # PERF.md "Honest retrieval timings". XLA serves non-factored
         # models (network scoring) and CPU runs.
+        # pallas_bf16: opt-in serving mode — bf16 score tiles (f32
+        # accumulate), exact top-k of the bf16-rounded scores; near-tie
+        # orderings can differ from f32, so never the parity default.
         use_pallas = factored and (
-            backend == "pallas" or (backend == "auto" and on_tpu)
+            backend in ("pallas", "pallas_bf16")
+            or (backend == "auto" and on_tpu)
         )
         if use_pallas:
             return self.sweep.run_pallas(
                 split, data_type, self.user_emb, self.item_emb,
-                interpret=not on_tpu,
+                interpret=not on_tpu, bf16=backend == "pallas_bf16",
             )
         return self.sweep.run(split, data_type, self.batch_scores)
 

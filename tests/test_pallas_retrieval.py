@@ -42,6 +42,43 @@ def test_retrieval_matches_masked_topk(rng, n_items):
         assert not (got & set(rated[u][rated[u] < n_items].tolist()))
 
 
+def test_bf16_mode_matches_bf16_oracle(rng):
+    """--eval_backend pallas_bf16: the kernel must return the exact top-k
+    of the bf16-rounded scores (bf16 operands, f32 accumulate)."""
+    n_users, n_items, d, k = 32, 384, 16, 8
+    ue = rng.standard_normal((n_users, d)).astype(np.float32)
+    ie = rng.standard_normal((n_items, d)).astype(np.float32)
+    max_rated = 8
+    rated = np.full((n_users, max_rated), n_items, dtype=np.int32)
+    for u in range(n_users):
+        nr = rng.integers(0, max_rated)
+        rated[u, :nr] = rng.choice(n_items, nr, replace=False)
+    excluded = np.zeros(n_items, dtype=bool)
+    excluded[rng.choice(n_items, n_items // 4, replace=False)] = True
+
+    vals, ids = retrieval_topk(
+        ue, ie, rated, excluded, k,
+        tile_u=16, block_i=128, interpret=True, bf16=True,
+    )
+    scores = jnp.dot(
+        jnp.asarray(ue).astype(jnp.bfloat16),
+        jnp.asarray(ie).astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    ref_vals, ref_ids = masked_topk(
+        scores, jnp.asarray(rated), jnp.asarray(excluded), k
+    )
+    np.testing.assert_array_equal(vals, np.asarray(ref_vals))
+    np.testing.assert_allclose(
+        np.take_along_axis(np.asarray(scores), ids, axis=1),
+        np.take_along_axis(np.asarray(scores), np.asarray(ref_ids), axis=1),
+    )
+    for u in range(n_users):
+        got = set(ids[u].tolist())
+        assert not (got & set(np.where(excluded)[0].tolist()))
+        assert not (got & set(rated[u][rated[u] < n_items].tolist()))
+
+
 def test_high_scoring_rated_items_rejected(rng):
     """Rated items are NOT masked in-kernel (overfetch-then-reject); they
     must still never surface even when they dominate the score scale."""
