@@ -16,7 +16,7 @@ TPU-native redesign (static shapes, SURVEY §7 hard part b):
   * L_E is estimated over a FIXED number of uniformly sampled train edges
     weighted by the cold-item indicator (same conditional distribution as
     the reference's subsampled masked-edge mean); denominators run over all
-    items with cold ∧ unrated masking via batched searchsorted;
+    items with cold ∧ unrated masking via broadcast-equality membership;
   * B for L_R = batch positives + a fixed count of uniform extra items
     (the reference dedups its shared set; here duplicates are kept —
     documented divergence, identical in expectation);
@@ -204,18 +204,23 @@ class CGRC(ColdStartModelBase):
         return self._block_logits(params, hu, xi)
 
     def _rated_mask(self, users, item_ids=None):
-        """(B, I) or (B, L) bool: user rated item (batched searchsorted)."""
-        rated = self._rated_all[users]  # (B, R) sorted, pad=item_num
+        """(B, I) or (B, L) bool: user rated item.
 
-        def row(r, q):
-            pos = jnp.searchsorted(r, q)
-            pos = jnp.minimum(pos, r.shape[0] - 1)
-            return r[pos] == q
-
+        Broadcast-equality any-reduce over the (B, R) rated rows — the
+        same membership formulation as the retrieval resolve step
+        (ops/pallas/retrieval.py:_resolve). A vmapped searchsorted here
+        lowers to a serial binary search which KERNEL-FAULTS the TPU
+        worker at book-crossing scale (bisected in
+        tools/debug_cgrc_bx.py); never reintroduce it on the device path.
+        """
+        rated = self._rated_all[users]  # (B, R), pad = item_num
         if item_ids is None:
             item_ids = jnp.arange(self.data.item_num, dtype=jnp.int32)
-            return jax.vmap(lambda r: row(r, item_ids))(rated)
-        return jax.vmap(row)(rated, item_ids)
+        if item_ids.ndim == 1:
+            return jnp.any(
+                rated[:, None, :] == item_ids[None, :, None], axis=-1
+            )
+        return jnp.any(rated[:, None, :] == item_ids[:, :, None], axis=-1)
 
     # ---------------------------------------------------- L_E softmax terms
     # dense path only when the (E, I, H) edge-MLP intermediate is small;
@@ -259,12 +264,8 @@ class CGRC(ColdStartModelBase):
             else cold_mask
         )
         ids = jnp.arange(n_i + pad, dtype=jnp.int32).reshape(-1, blk)
-        rated = self._rated_all[e_u]  # (E, R) sorted, pad = n_i
+        rated = self._rated_all[e_u]  # (E, R), pad = n_i
         neg_inf = jnp.finfo(jnp.float32).min
-
-        def member(row, q):  # (R,), (blk,) -> (blk,) membership
-            p = jnp.minimum(jnp.searchsorted(row, q), row.shape[0] - 1)
-            return row[p] == q
 
         # jax.checkpoint: reverse-mode through scan would otherwise stash
         # every step's (E, blk, H) relu residual — 141 GB at book-crossing
@@ -273,9 +274,12 @@ class CGRC(ColdStartModelBase):
         def body(carry, idx):
             m, s = carry  # running max (E,), running sum-exp (E,)
             lg = self._block_logits(params, hu, xi_pad[idx])  # (E, blk)
-            valid = cm_pad[idx][None, :] & ~jax.vmap(
-                lambda r: member(r, idx)
-            )(rated)
+            # membership by broadcast equality — a vmapped searchsorted
+            # here kernel-faults the worker at 270k items (see _rated_mask)
+            is_rated = jnp.any(
+                rated[:, None, :] == idx[None, :, None], axis=-1
+            )
+            valid = cm_pad[idx][None, :] & ~is_rated
             lg = jnp.where(valid, lg, neg_inf)
             bm = jnp.max(lg, axis=1)
             nm = jnp.maximum(m, bm)

@@ -1,8 +1,14 @@
 """Exact inner-product k-nearest-neighbour search on device.
 
-Replaces faiss.IndexFlatIP (KNN.py:67-73): queries x values inner products
-via a blocked MXU matmul + ``jax.lax.top_k``. Used by the KNN cold-start
-model (content neighbours) and by AGNN/FSGNN cosine-kNN graph construction.
+Replaces faiss.IndexFlatIP (KNN.py:67-73): queries x values inner products,
+top-k per query. Used by the KNN cold-start model (content neighbours) and
+by AGNN/FSGNN cosine-kNN graph construction.
+
+On TPU the sweep routes through the fused Pallas retrieval kernel
+(ops/pallas/retrieval.py) with no rated/candidate masks — the same
+score+streaming-top-k program that serves eval (8-95x the XLA
+matmul+top_k formulation, PERF.md). Off-TPU (and for tiny value sets or
+huge k) it falls back to a blocked MXU matmul + ``jax.lax.top_k``.
 """
 from __future__ import annotations
 
@@ -19,14 +25,43 @@ def _topk_chunk(q: jnp.ndarray, v: jnp.ndarray, k: int):
     return jax.lax.top_k(scores, k)
 
 
+def _knn_via_retrieval(
+    q_all: np.ndarray, v_all: np.ndarray, k: int, interpret: bool = False
+):
+    """Unmasked kNN through the fused retrieval kernel. The contraction
+    dim is zero-padded to a lane multiple (inner products unchanged); the
+    'rated' reject list is a single pad-id column (rejects nothing)."""
+    from .pallas.retrieval import LANES, retrieval_topk
+
+    n_items, d = v_all.shape
+    d_pad = ((d + LANES - 1) // LANES) * LANES
+    if d_pad != d:
+        q_all = np.pad(q_all, ((0, 0), (0, d_pad - d)))
+        v_all = np.pad(v_all, ((0, 0), (0, d_pad - d)))
+    rated = np.full((q_all.shape[0], 1), n_items, np.int32)
+    excluded = np.zeros(n_items, dtype=bool)
+    return retrieval_topk(
+        q_all, v_all, rated, excluded, k, interpret=interpret
+    )
+
+
 def knn_inner_product(
     queries: np.ndarray, values: np.ndarray, k: int, chunk: int = 4096
 ):
     """Returns (scores (Q, k), indices (Q, k)) of the top-k values rows by
     inner product for each query row. Exact, like faiss IndexFlatIP."""
-    v = jnp.asarray(values, jnp.float32)
-    out_s, out_i = [], []
+    from .pallas.retrieval import LANES, SLOTS
+
     q_all = np.asarray(queries, np.float32)
+    v = np.asarray(values, np.float32)
+    if (
+        jax.devices()[0].platform == "tpu"
+        and values.shape[0] >= 512
+        and k + 1 <= SLOTS * LANES
+    ):
+        return _knn_via_retrieval(q_all, v, k)
+    v = jnp.asarray(v)
+    out_s, out_i = [], []
     for start in range(0, q_all.shape[0], chunk):
         s, i = _topk_chunk(jnp.asarray(q_all[start : start + chunk]), v, k)
         out_s.append(np.asarray(s))

@@ -42,6 +42,26 @@ def test_retrieval_matches_masked_topk(rng, n_items):
         assert not (got & set(rated[u][rated[u] < n_items].tolist()))
 
 
+def test_knn_via_retrieval_matches_blocked_topk(rng):
+    """ops/knn.py TPU path: unmasked kNN through the fused kernel (with
+    contraction-dim padding for non-lane-multiple content dims) must
+    match the blocked matmul+top_k oracle."""
+    from coldrec_tpu.ops.knn import _knn_via_retrieval, _topk_chunk
+
+    n_q, n_v, d, k = 30, 300, 20, 7  # d deliberately not a lane multiple
+    q = rng.standard_normal((n_q, d)).astype(np.float32)
+    v = rng.standard_normal((n_v, d)).astype(np.float32)
+    vals, ids = _knn_via_retrieval(q, v, k, interpret=True)
+    ref_vals, ref_ids = _topk_chunk(jnp.asarray(q), jnp.asarray(v), k)
+    np.testing.assert_allclose(vals, np.asarray(ref_vals), rtol=1e-5, atol=1e-5)
+    scores = q @ v.T
+    np.testing.assert_allclose(
+        np.take_along_axis(scores, ids, axis=1),
+        np.take_along_axis(scores, np.asarray(ref_ids), axis=1),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_bf16_mode_matches_bf16_oracle(rng):
     """--eval_backend pallas_bf16: the kernel must return the exact top-k
     of the bf16-rounded scores (bf16 operands, f32 accumulate)."""
