@@ -3,10 +3,11 @@
 These are the multi-chip equivalents of the single-chip ops (SURVEY §2.5):
 
   * **Row-sharded embedding lookup** — tables live row-sharded over the
-    ``model`` axis; lookups all-gather the d-sliced table over ICI (tables
-    at ColdRec scale are O(10-100 MB) so the all-gather of one batch's rows
-    is cheaper than an id all-to-all; the id-exchange variant can slot in
-    behind the same signature later).
+    ``model`` axis; two comm strategies behind one signature: the
+    id-exchange lookup (each shard gathers the rows it owns, one psum
+    assembles the batch — O(B·d) wire bytes, flat in table height; the
+    production path for large tables) and a whole-table all-gather fast
+    path for tables comparable to the batch.
   * **Sharded SpMM** — adjacency edges are partitioned by destination-row
     shard (host-side, one-time, padded to equal length); each shard
     all-gathers the input rows then segment-sums locally. Output rows stay
@@ -191,6 +192,136 @@ def sharded_masked_topk(
         out_specs=(P(), P()),
     )
     return fm(user_emb, item_emb, excluded)
+
+
+def sharded_retrieval_topk(
+    mesh: Mesh,
+    user_emb: jnp.ndarray,  # (B, d) replicated
+    item_emb: jnp.ndarray,  # (I, d) row-sharded over model (I % axis == 0)
+    rated_pad: np.ndarray,  # (B, R) global item ids, pad >= I
+    excluded: jnp.ndarray,  # (I,) bool sharded over model
+    k: int,
+    tile_u: int = 256,
+    block_i: int = 2048,
+    interpret: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Item-axis-sharded retrieval through the fused Pallas kernel.
+
+    Each shard runs the fused score+mask+streaming-top-k kernel
+    (ops/pallas/retrieval.py) over its OWN item rows — the (B, I/n)
+    score plane never touches HBM on any chip — then all-gathers its
+    SLOTS*128 candidates and per-lane ghost bound over ICI. Rated items
+    are rejected among the merged candidates and the survivor top-k is
+    exact by the per-shard ghost argument: every non-candidate item was
+    discarded inside its own shard at a value <= that shard's ghost.
+    Rows whose merged ghost reaches the k-th value are recomputed via an
+    exact per-shard overfetch path (top k+R per shard, gather, reject
+    rated) — the multi-chip analog of retrieval_topk's fallback.
+
+    Replaces the reference's replicated torch eval
+    (BaseRecommender.py:170-183) for item spaces too large for one chip.
+    """
+    from ..ops.pallas.retrieval import (
+        LANES, SLOTS, _fused_sweep, _resolve, _round_up,
+    )
+
+    n_model = mesh.shape[AXIS_MODEL]
+    n_users, d = user_emb.shape
+    n_items = item_emb.shape[0]
+    assert n_items % n_model == 0, (n_items, n_model)
+    items_per = n_items // n_model
+    assert k + rated_pad.shape[1] <= SLOTS * LANES, (k, SLOTS * LANES)
+    block_l = min(block_i, _round_up(items_per, LANES))
+    i_pad_l = _round_up(items_per, block_l)
+    b_pad = _round_up(n_users, tile_u)
+
+    def f(u, items_l, excl_l):
+        shard = jax.lax.axis_index(AXIS_MODEL)
+        users = jnp.zeros((b_pad, d), u.dtype).at[:n_users].set(u)
+        items_t = (
+            jnp.zeros((d, i_pad_l), items_l.dtype)
+            .at[:, :items_per].set(items_l.T)
+        )
+        excl_row = (
+            jnp.ones((1, i_pad_l), jnp.int8)
+            .at[0, :items_per].set(excl_l.astype(jnp.int8))
+        )
+        cv, ci, gh = _fused_sweep(
+            users, items_t, excl_row, tile_u, block_l, interpret
+        )
+        ci = ci + shard * items_per  # local -> global ids (pad ids >= I,
+        # value INIT_NEG/NEG so they never survive the merge)
+        av = jax.lax.all_gather(cv, AXIS_MODEL, axis=1, tiled=True)
+        ai = jax.lax.all_gather(ci, AXIS_MODEL, axis=1, tiled=True)
+        ag = jax.lax.all_gather(gh, AXIS_MODEL, axis=1, tiled=True)
+        return av, ai, ag
+
+    fm = shard_map(
+        f, mesh,
+        in_specs=(P(), P(AXIS_MODEL, None), P(AXIS_MODEL)),
+        out_specs=(P(), P(), P()),
+    )
+    av, ai, ag = fm(user_emb, item_emb, excluded)
+    rated = (
+        jnp.full((b_pad, rated_pad.shape[1]), n_items, jnp.int32)
+        .at[:n_users].set(jnp.asarray(rated_pad, jnp.int32))
+    )
+    vals_d, ids_d, sus_d = _resolve(av, ai, ag, rated, k)
+    vals = np.array(vals_d[:n_users])
+    ids = np.array(ids_d[:n_users])
+    sus = np.asarray(sus_d[:n_users])
+    if sus.any():
+        rows = np.flatnonzero(sus)
+        n_pad = _round_up(rows.size, 8)
+        rows_pad = np.zeros(n_pad, np.int64)
+        rows_pad[: rows.size] = rows
+        fv, fi = _sharded_exact_rows(
+            mesh,
+            jnp.asarray(user_emb)[jnp.asarray(rows_pad)],
+            item_emb,
+            np.asarray(rated_pad)[rows_pad],
+            excluded,
+            k,
+        )
+        vals[rows] = np.asarray(fv)[: rows.size]
+        ids[rows] = np.asarray(fi)[: rows.size]
+    return vals, ids
+
+
+def _sharded_exact_rows(mesh, users_rows, item_emb, rated_rows, excluded, k):
+    """Exact fallback for ghost-flagged rows: per-shard overfetch top
+    (k+R) with the candidate mask only, gather, reject rated globally,
+    re-rank. Exact because at most R rated items can outrank a masked
+    top-k element inside its shard."""
+    n_model = mesh.shape[AXIS_MODEL]
+    items_per = item_emb.shape[0] // n_model
+    r = rated_rows.shape[1]
+    fetch = min(k + r, items_per)
+
+    def f(u, items_l, excl_l):
+        shard = jax.lax.axis_index(AXIS_MODEL)
+        scores = u @ items_l.T
+        scores = jnp.where(excl_l[None, :], -10e8, scores)
+        lv, li = jax.lax.top_k(scores, fetch)
+        li = li + shard * items_per
+        av = jax.lax.all_gather(lv, AXIS_MODEL, axis=1, tiled=True)
+        ai = jax.lax.all_gather(li, AXIS_MODEL, axis=1, tiled=True)
+        return av, ai
+
+    fm = shard_map(
+        f, mesh,
+        in_specs=(P(), P(AXIS_MODEL, None), P(AXIS_MODEL)),
+        out_specs=(P(), P()),
+    )
+    av, ai = fm(users_rows, item_emb, excluded)
+    is_rated = jnp.any(
+        ai[:, :, None] == jnp.asarray(rated_rows, jnp.int32)[:, None, :],
+        axis=-1,
+    )
+    av = jnp.where(is_rated, -10e8 * 2.0, av)
+    vals, pos = jax.lax.top_k(av, k)
+    ids = jnp.take_along_axis(ai, pos, axis=1)
+    return vals, ids
 
 
 def make_mesh_graph(mesh: Mesh, host_graph, n_nodes: int):

@@ -127,6 +127,84 @@ def test_sharded_topk_matches_single_chip(mesh, rng):
     )
 
 
+def test_sharded_retrieval_topk_matches_masked_topk(mesh, rng):
+    """Kernel-backed item-axis-sharded retrieval (interpret mode) must
+    equal the single-chip masked_topk oracle, including rated rejection."""
+    from coldrec_tpu.parallel.ops import sharded_retrieval_topk
+    from coldrec_tpu.runtime.eval import masked_topk
+
+    b, n_items, d, k, r = 24, 8 * 128, 16, 6, 8
+    u = rng.standard_normal((b, d)).astype(np.float32)
+    items = rng.standard_normal((n_items, d)).astype(np.float32)
+    rated = np.full((b, r), n_items, dtype=np.int32)
+    for i in range(b):
+        nr = rng.integers(0, r)
+        rated[i, :nr] = rng.choice(n_items, nr, replace=False)
+    excluded = np.zeros(n_items, bool)
+    excluded[rng.choice(n_items, n_items // 5, replace=False)] = True
+
+    item_sharded = shard_rows(mesh, jnp.asarray(items))
+    excl_sharded = jax.device_put(
+        jnp.asarray(excluded),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(AXIS_MODEL)
+        ),
+    )
+    vals, ids = sharded_retrieval_topk(
+        mesh, jnp.asarray(u), item_sharded, rated, excl_sharded, k,
+        tile_u=8, block_i=128, interpret=True,
+    )
+    ref_vals, ref_ids = masked_topk(
+        jnp.asarray(u @ items.T), jnp.asarray(rated),
+        jnp.asarray(excluded), k,
+    )
+    np.testing.assert_allclose(vals, np.asarray(ref_vals), rtol=1e-4, atol=1e-4)
+    scores = u @ items.T
+    np.testing.assert_allclose(
+        np.take_along_axis(scores, ids, axis=1),
+        np.take_along_axis(scores, np.asarray(ref_ids), axis=1),
+        rtol=1e-4, atol=1e-4,
+    )
+    for i in range(b):
+        got = set(ids[i].tolist())
+        assert not (got & set(rated[i][rated[i] < n_items].tolist()))
+        assert not (got & set(np.where(excluded)[0].tolist()))
+
+
+def test_sharded_retrieval_lane_collision_fallback(mesh, rng):
+    """Planted same-lane-class top set overflows the per-lane list in one
+    shard; the sharded ghost must flag it and the per-shard overfetch
+    fallback must return the exact set."""
+    from coldrec_tpu.ops.pallas.retrieval import SLOTS
+    from coldrec_tpu.parallel.ops import sharded_retrieval_topk
+
+    n_items, d = 8 * 256, 8
+    k = SLOTS + 4
+    n_plant = SLOTS + 2
+    u = np.zeros((8, d), dtype=np.float32)
+    u[:, 0] = 1.0
+    items = rng.standard_normal((n_items, d)).astype(np.float32) * 0.01
+    plant = [iid for iid in range(0, n_plant * 128, 128)]  # one shard,
+    # one lane class
+    for rank, iid in enumerate(plant):
+        items[iid] = 0.0
+        items[iid, 0] = 100.0 - rank
+    rated = np.full((8, 4), n_items, dtype=np.int32)
+    excluded = np.zeros(n_items, bool)
+    item_sharded = shard_rows(mesh, jnp.asarray(items))
+    excl_sharded = jax.device_put(
+        jnp.asarray(excluded),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(AXIS_MODEL)
+        ),
+    )
+    vals, ids = sharded_retrieval_topk(
+        mesh, jnp.asarray(u), item_sharded, rated, excl_sharded, k,
+        tile_u=8, block_i=128, interpret=True,
+    )
+    assert set(ids[0, :n_plant].tolist()) == set(plant)
+
+
 def test_pad_rows():
     x = np.ones((10, 3), np.float32)
     out = pad_rows(x, 4)
