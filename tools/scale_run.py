@@ -101,12 +101,15 @@ def run_model(model: str, epochs: int, extra: list, cold_object: str) -> dict:
         raise SystemExit(f"{model} run failed rc={proc.returncode}")
     payload = {}
     if os.path.exists(result_file):
-        with open(result_file) as f:
-            for line in f:
-                line = line.strip()
-                if line.startswith("{"):
-                    payload = json.loads(line)
-                    break
+        text = open(result_file).read()
+        marker = "--- JSON"
+        if marker in text:
+            blob = text[text.index(marker):]
+            blob = blob[blob.index("{"):]
+            try:
+                payload = json.JSONDecoder().raw_decode(blob)[0]
+            except ValueError:
+                payload = {}
     print(
         json.dumps(
             {
