@@ -78,14 +78,15 @@ def bench_pallas_sweep(user_emb, item_emb, rated, excluded):
     ue, ie = jnp.asarray(user_emb), jnp.asarray(item_emb)
     rat, exc = jnp.asarray(rated), jnp.asarray(excluded)
     n_users, n_items = user_emb.shape[0], item_emb.shape[0]
-    i_pad, b_pad = _round_up(n_items, 2048), _round_up(n_users, 256)
+    block_i = min(8192, _round_up(n_items, 2048))  # production default
+    i_pad, b_pad = _round_up(n_items, block_i), _round_up(n_users, 256)
     n_iter = 16
 
     @jax.jit
     def chained(u):
         def body(u, _):
             vals, _, sus = _sweep_padded(
-                u, ie, rat, exc, i_pad, b_pad, 256, 2048, TOP_K, False
+                u, ie, rat, exc, i_pad, b_pad, 256, block_i, TOP_K, False
             )
             dep = vals[:, :1] + sus[:, None].astype(u.dtype)
             return u + 1e-38 * dep, None

@@ -234,7 +234,7 @@ def retrieval_topk(
     excluded,  # (item_num,) bool
     k: int,
     tile_u: int = 256,
-    block_i: int = 2048,
+    block_i: int = 0,
     interpret: bool = False,
     bf16: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -248,6 +248,13 @@ def retrieval_topk(
     n_users, d = user_emb.shape
     n_items = item_emb.shape[0]
     assert k + rated_pad.shape[1] <= SLOTS * LANES, (k, SLOTS * LANES)
+    if not block_i:
+        # wider item blocks amortize the per-block slot cascade (the
+        # kernel is VPU-bound, not DMA- or MXU-bound: bf16 tiles and
+        # bigger user tiles both measured NEUTRAL-to-worse); 8192 is the
+        # measured optimum at book-crossing width, 16384 regresses on
+        # VMEM pressure (tools/ubench_kernel_variants.py, PERF.md)
+        block_i = min(8192, _round_up(n_items, 2048))
     assert block_i % LANES == 0, block_i
     i_pad = _round_up(n_items, block_i)
     b_pad = _round_up(n_users, tile_u)

@@ -202,7 +202,7 @@ def sharded_retrieval_topk(
     excluded: jnp.ndarray,  # (I,) bool sharded over model
     k: int,
     tile_u: int = 256,
-    block_i: int = 2048,
+    block_i: int = 8192,
     interpret: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Item-axis-sharded retrieval through the fused Pallas kernel.
