@@ -250,15 +250,59 @@ class USIM(ColdStartModelBase):
         b_reward = stack(2)
         b_next = stack(3)
         b_dones = stack(4).astype(jnp.float32)
-        b_mask = self._rebuild_mask(
-            self.n_user, stack(5), stack(6), stack(7), stack(8)
-        )
+        b_idx = (stack(5), stack(6), stack(7), stack(8))  # mask index sets
         b_w = stack(9)
 
         def critic_of(c, s):
             return linear(c["fc1"], s)[:, 0]
 
-        target_lp = self._log_probs_masked(target_actor, b_state, b_action, b_mask)
+        w_sum = jnp.maximum(jnp.sum(b_w), 1.0)
+        t_total = b_state.shape[0]
+        if t_total * self.n_user <= self._DENSE_OPT_ELEMS:
+            opt = self._optimize_dense
+        else:
+            # book-crossing scale: a dense (T, n_user) mask/prob plane is
+            # 8-32 GB (T = 3*max_time*bs transitions x 92k+1 users) and
+            # OOMs the chip; process transitions in bs-sized chunks —
+            # sums over transitions decompose exactly, one optimizer
+            # update per PPO iteration either way
+            opt = self._optimize_chunked
+        actor, a_state, critic, c_state = opt(
+            actor, a_state, critic, c_state, target_actor, target_critic,
+            critic_of, b_state, b_action, b_reward, b_next, b_dones,
+            b_idx, b_w, w_sum, items.shape[0],
+        )
+
+        # termination-state critic regression (USIM.py:449-455)
+        key, sk = jax.random.split(key)
+        rand_t = jax.random.randint(
+            sk, (items.shape[0],), 0, self.max_time
+        ).astype(jnp.float32)
+        term_state = jnp.concatenate([item_emb, rand_t[:, None]], 1)
+
+        def term_loss_fn(c):
+            q = critic_of(c, term_state)
+            return jnp.sum(q**2 * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+        gc = jax.grad(term_loss_fn)(critic)
+        upd, c_state = self.critic_opt.update(gc, c_state, critic)
+        critic = optax.apply_updates(critic, upd)
+        # hard update
+        return actor, a_state, critic, c_state, actor, critic
+
+    # ---------------------------------------------------------- optimizers
+    _DENSE_OPT_ELEMS = 1 << 29  # T * n_user fp32 elements (~2 GB planes)
+
+    def _optimize_dense(
+        self, actor, a_state, critic, c_state, target_actor, target_critic,
+        critic_of, b_state, b_action, b_reward, b_next, b_dones,
+        b_idx, b_w, w_sum, chunk,
+    ):
+        """PPO(5) over the full transition set (small/medium item spaces)."""
+        b_mask = self._rebuild_mask(self.n_user, *b_idx)
+        target_lp = self._log_probs_masked(
+            target_actor, b_state, b_action, b_mask
+        )
         target_q = b_reward + self.discount * critic_of(
             target_critic, b_next
         ) * (1 - b_dones)
@@ -266,7 +310,6 @@ class USIM(ColdStartModelBase):
         target_lp = jax.lax.stop_gradient(target_lp)
         target_q = jax.lax.stop_gradient(target_q)
         advantage = jax.lax.stop_gradient(advantage)
-        w_sum = jnp.maximum(jnp.sum(b_w), 1.0)
 
         def ppo_iter(carry, _):
             actor, a_state, critic, c_state = carry
@@ -293,23 +336,81 @@ class USIM(ColdStartModelBase):
         (actor, a_state, critic, c_state), _ = jax.lax.scan(
             ppo_iter, (actor, a_state, critic, c_state), None, length=5
         )
+        return actor, a_state, critic, c_state
 
-        # termination-state critic regression (USIM.py:449-455)
-        key, sk = jax.random.split(key)
-        rand_t = jax.random.randint(
-            sk, (items.shape[0],), 0, self.max_time
-        ).astype(jnp.float32)
-        term_state = jnp.concatenate([item_emb, rand_t[:, None]], 1)
+    def _optimize_chunked(
+        self, actor, a_state, critic, c_state, target_actor, target_critic,
+        critic_of, b_state, b_action, b_reward, b_next, b_dones,
+        b_idx, b_w, w_sum, chunk,
+    ):
+        """Same PPO math with transitions processed in fixed chunks: the
+        (chunk, n_user) mask/prob planes are rebuilt per step inside a
+        lax.scan and gradients accumulated before ONE optimizer update per
+        PPO iteration — bit-identical up to sum reassociation. T is always
+        a multiple of the rollout batch (T = 3 * max_time * bs)."""
+        t_total = b_state.shape[0]
+        n_chunks = t_total // chunk
 
-        def term_loss_fn(c):
-            q = critic_of(c, term_state)
-            return jnp.sum(q**2 * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        def rs(x):
+            return x.reshape((n_chunks, chunk) + x.shape[1:])
 
-        gc = jax.grad(term_loss_fn)(critic)
-        upd, c_state = self.critic_opt.update(gc, c_state, critic)
-        critic = optax.apply_updates(critic, upd)
-        # hard update
-        return actor, a_state, critic, c_state, actor, critic
+        xs = (
+            rs(b_state), rs(b_action), rs(b_reward), rs(b_next),
+            rs(b_dones), tuple(rs(i) for i in b_idx), rs(b_w),
+        )
+
+        def tgt_body(_, x):
+            s, a, r, nx, dn, idxs, _w = x
+            m = self._rebuild_mask(self.n_user, *idxs)
+            lp = self._log_probs_masked(target_actor, s, a, m)
+            q = r + self.discount * critic_of(target_critic, nx) * (1 - dn)
+            adv = q - critic_of(target_critic, s)
+            return None, (lp, q, adv)
+
+        _, (c_tlp, c_tq, c_adv) = jax.lax.scan(tgt_body, None, xs)
+        c_tlp = jax.lax.stop_gradient(c_tlp)
+        c_tq = jax.lax.stop_gradient(c_tq)
+        c_adv = jax.lax.stop_gradient(c_adv)
+        xs_full = xs + (c_tlp, c_tq, c_adv)
+
+        def ppo_iter(carry, _):
+            actor, a_state, critic, c_state = carry
+
+            def chunk_losses(a, c, x):
+                s, act, _r, _nx, _dn, idxs, w, tlp, tq, adv = x
+                m = self._rebuild_mask(self.n_user, *idxs)
+                lp = self._log_probs_masked(a, s, act, m)
+                ratio = jnp.exp(lp - tlp)
+                surr1 = ratio * adv
+                surr2 = jnp.clip(ratio, 0.8, 1.2) * adv
+                la = jnp.sum(-jnp.minimum(surr1, surr2) * w) / w_sum
+                q = critic_of(c, s)
+                lc = jnp.sum((q - tq) ** 2 * w) / w_sum
+                return la, lc
+
+            def accum(g, x):
+                ga_c = jax.grad(lambda a: chunk_losses(a, critic, x)[0])(actor)
+                gc_c = jax.grad(lambda c: chunk_losses(actor, c, x)[1])(critic)
+                return (
+                    jax.tree_util.tree_map(jnp.add, g[0], ga_c),
+                    jax.tree_util.tree_map(jnp.add, g[1], gc_c),
+                ), None
+
+            zeros = (
+                jax.tree_util.tree_map(jnp.zeros_like, actor),
+                jax.tree_util.tree_map(jnp.zeros_like, critic),
+            )
+            (ga, gc), _ = jax.lax.scan(accum, zeros, xs_full)
+            upd, a_state = self.actor_opt.update(ga, a_state, actor)
+            actor = optax.apply_updates(actor, upd)
+            upd, c_state = self.critic_opt.update(gc, c_state, critic)
+            critic = optax.apply_updates(critic, upd)
+            return (actor, a_state, critic, c_state), None
+
+        (actor, a_state, critic, c_state), _ = jax.lax.scan(
+            ppo_iter, (actor, a_state, critic, c_state), None, length=5
+        )
+        return actor, a_state, critic, c_state
 
     # ------------------------------------------------------------- rollouts
     def _infer(self, actor, content):
@@ -389,9 +490,29 @@ class USIM(ColdStartModelBase):
                 },
             )
 
+    _infer_blk = 4096  # rollout chunk width (class attr for tests)
+
     def _eval_tables(self):
         cold = self.cold_idx
-        gen = self._infer_jit(self.actor, self.content[cold])
+        blk = self._infer_blk
+        if cold.shape[0] <= blk:
+            gen = self._infer_jit(self.actor, self.content[cold])
+        else:
+            # chunk the greedy rollout: one (n_cold, n_user) action-prob
+            # plane is 20 GB at book-crossing scale (54k cold x 92k
+            # users) and OOMs the chip; fixed-size chunks (last one
+            # padded) bound it at (blk, n_user) with one compile
+            n = cold.shape[0]
+            pad = (-n) % blk
+            cold_pad = np.concatenate([np.asarray(cold),
+                                       np.zeros(pad, cold.dtype)])
+            outs = [
+                self._infer_jit(
+                    self.actor, self.content[cold_pad[s: s + blk]]
+                )
+                for s in range(0, n + pad, blk)
+            ]
+            gen = jnp.concatenate(outs, axis=0)[:n]
         item_emb = self.item_table.at[cold].set(gen)
         # unclassified item columns score 0 (USIM.py:594-600)
         item_emb = item_emb * self._col_mask[:, None]

@@ -54,6 +54,65 @@ def test_single_user_predict(data, tmp_path):
     np.testing.assert_allclose(batch[0], scores, atol=1e-6)
 
 
+def test_usim_chunked_inference_matches_single_call(data, tmp_path,
+                                                    monkeypatch):
+    """USIM's chunked greedy rollout (bounds the (cold, users) action-prob
+    plane — 20 GB at book-crossing scale) must equal the one-shot path."""
+    from coldrec_tpu.models.usim import USIM
+
+    args = default_args(
+        model="MF", dataset="synth", epochs=1, bs=256, emb_size=8,
+        early_stop=3, emb_dir=str(tmp_path), seed=5, save_emb=True,
+    )
+    model_factory(Config(args, data)).run()  # backbone on the bus
+    uargs = default_args(
+        model="USIM", dataset="synth", epochs=0, bs=32, emb_size=8,
+        early_stop=3, emb_dir=str(tmp_path), seed=5, save_emb=False,
+        usim_max_time=3, usim_k=4,
+    )
+    usim = model_factory(Config(uargs, data))
+    ue_one, ie_one = usim._eval_tables()
+    monkeypatch.setattr(USIM, "_infer_blk", 4)  # force chunking + padding
+    ue_chunk, ie_chunk = usim._eval_tables()
+    np.testing.assert_array_equal(np.asarray(ie_one), np.asarray(ie_chunk))
+    np.testing.assert_array_equal(np.asarray(ue_one), np.asarray(ue_chunk))
+
+
+def test_usim_chunked_ppo_matches_dense(data, tmp_path, monkeypatch):
+    """The chunked PPO optimize (bounds the (T, n_user) planes at book-
+    crossing scale) must match the dense path up to sum reassociation."""
+    import jax
+
+    from coldrec_tpu.models.usim import USIM
+
+    args = default_args(
+        model="USIM", dataset="synth", epochs=0, bs=16, emb_size=8,
+        early_stop=3, emb_dir=str(tmp_path), seed=7, save_emb=False,
+        usim_max_time=2, usim_k=3,
+    )
+    usim = model_factory(Config(args, data))
+    batch = next(iter(usim.batches()))
+    key = jax.random.PRNGKey(11)
+    call = lambda: usim._batch_step(
+        usim.actor, usim.actor_state, usim.critic, usim.critic_state,
+        usim.target_actor, usim.target_critic,
+        np.asarray(batch["items"]), np.asarray(batch["weight"]), key,
+    )
+    dense = call()
+    monkeypatch.setattr(USIM, "_DENSE_OPT_ELEMS", 0)  # force chunked
+    chunked = call()
+    for d, c in zip(jax.tree_util.tree_leaves(dense[0]),
+                    jax.tree_util.tree_leaves(chunked[0])):
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(c), rtol=2e-4, atol=2e-5
+        )
+    for d, c in zip(jax.tree_util.tree_leaves(dense[2]),
+                    jax.tree_util.tree_leaves(chunked[2])):
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(c), rtol=2e-4, atol=2e-5
+        )
+
+
 def test_event_log_written(data, tmp_path, monkeypatch):
     log_path = str(tmp_path / "events.jsonl")
     monkeypatch.setenv("COLDREC_EVENT_LOG", log_path)
