@@ -116,10 +116,9 @@ def run_model(model: str, epochs: int, extra: list, cold_object: str) -> dict:
                 "scale_run": model,
                 "epochs": epochs,
                 "wall_seconds": round(wall, 1),
-                "sec_per_epoch": payload.get("metrics", {}).get(
-                    "sec_per_epoch", None
-                )
-                or payload.get("sec/epoch"),
+                "sec_per_epoch": payload.get("efficiency", {}).get(
+                    "seconds_per_completed_epoch_mean"
+                ),
             }
         ),
         flush=True,
