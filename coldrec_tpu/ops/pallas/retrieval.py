@@ -31,8 +31,8 @@ Algorithm (grid = user tiles x item blocks, running state in VMEM):
      each cascade eviction — folds into a per-lane running **ghost** bound.
 
 The kernel emits (TU, SLOTS*128) candidates + (TU, 128) ghosts; `_resolve`
-rejects rated candidates (sorted searchsorted membership, as in
-runtime/eval.py:48-56) and takes a trivial top_k over the survivors.
+rejects rated candidates (broadcast-equality membership, as in
+runtime/eval.py::masked_topk) and takes a trivial top_k over the survivors.
 
 Exactness: let theta = k-th best surviving candidate value for a user.
 Every item not among that user's candidates was discarded at some step,

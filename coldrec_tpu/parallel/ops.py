@@ -249,8 +249,13 @@ def sharded_retrieval_topk(
         cv, ci, gh = _fused_sweep(
             users, items_t, excl_row, tile_u, block_l, interpret
         )
-        ci = ci + shard * items_per  # local -> global ids (pad ids >= I,
-        # value INIT_NEG/NEG so they never survive the merge)
+        # local -> global ids; pad columns (local id >= items_per) map to
+        # the global pad id n_items — offsetting them would ALIAS into the
+        # next shard's real id range and could surface as a concrete wrong
+        # recommendation for users whose candidate pool is thinner than k
+        ci = jnp.where(
+            ci < items_per, ci + shard * items_per, n_items
+        )
         av = jax.lax.all_gather(cv, AXIS_MODEL, axis=1, tiled=True)
         ai = jax.lax.all_gather(ci, AXIS_MODEL, axis=1, tiled=True)
         ag = jax.lax.all_gather(gh, AXIS_MODEL, axis=1, tiled=True)

@@ -45,14 +45,14 @@ def masked_topk(
     fetch = min(k + r, n_items)
     cand_vals, cand_idx = _hierarchical_topk(masked, fetch)  # (B, k+R)
 
-    # reject rated candidates: sorted-row searchsorted over the small set
-    rated_sorted = jnp.sort(rated_pad, axis=1)  # pad = I sorts to the end
-
-    def row_membership(row, cand):
-        pos = jnp.minimum(jnp.searchsorted(row, cand), r - 1)
-        return row[pos] == cand
-
-    is_rated = jax.vmap(row_membership)(rated_sorted, cand_idx)
+    # reject rated candidates: broadcast-equality any-reduce over the
+    # small (B, k+R, R) cube. NOT a vmapped searchsorted — that lowers to
+    # a serial binary-search while loop, the construct that kernel-faults
+    # the TPU worker in bulk (CLAUDE.md gotcha; bisected in
+    # tools/debug_cgrc_bx.py)
+    is_rated = jnp.any(
+        cand_idx[:, :, None] == rated_pad[:, None, :], axis=-1
+    )
     cand_vals = jnp.where(is_rated, MASK_VALUE, cand_vals)
     vals, pos = jax.lax.top_k(cand_vals, k)
     idx = jnp.take_along_axis(cand_idx, pos, axis=1)
@@ -155,6 +155,15 @@ class EvalSweep:
             outs.append(idx)
         rec = jnp.concatenate(outs, axis=0)[: st["n_users"]]
         return np.asarray(jax.device_get(rec))
+
+    def pallas_supported(self, split_name: str, data_type: str) -> bool:
+        """The fused kernel emits SLOTS*LANES candidates per user; the
+        overfetch-then-reject scheme is exact only while k + rated_width
+        fits in that stream (retrieval.py exactness argument)."""
+        from ..ops.pallas.retrieval import LANES, SLOTS
+
+        st = self._prepare(split_name, data_type)
+        return self.max_n + int(st["rated_chunks"].shape[-1]) <= SLOTS * LANES
 
     def run_pallas(
         self,

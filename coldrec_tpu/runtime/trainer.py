@@ -177,6 +177,12 @@ class BaseColdStartTrainer(ABC):
             backend in ("pallas", "pallas_bf16")
             or (backend == "auto" and on_tpu)
         )
+        # the kernel keeps k + rated_width candidates per user in its
+        # SLOTS*LANES stream; datasets with a heavier-rated user than that
+        # (e.g. a >1000-rating MovieLens user) fall back to the XLA sweep
+        # instead of tripping the kernel's assert
+        if use_pallas and not self.sweep.pallas_supported(split, data_type):
+            use_pallas = False
         if use_pallas:
             return self.sweep.run_pallas(
                 split, data_type, self.user_emb, self.item_emb,

@@ -28,3 +28,47 @@ def test_pallas_backend_matches_xla():
     assert pal.overall_test_results == xla.overall_test_results
     assert pal.cold_test_results == xla.cold_test_results
     assert pal.warm_test_results == xla.warm_test_results
+
+
+def test_heavy_rated_user_falls_back_to_xla():
+    """A user with more rated items than the kernel's candidate stream
+    (SLOTS*LANES - k) must route the sweep to the XLA path instead of
+    tripping retrieval_topk's assert."""
+    rng = np.random.default_rng(3)
+    n_users, n_items = 40, 1900
+    # ~1750 ratings pre-split leaves the heavy user >1024 in warm_train
+    heavy = np.stack(
+        [np.zeros(1750, np.int64), rng.choice(n_items, 1750, replace=False)],
+        axis=1,
+    )
+    rest_u = rng.integers(1, n_users, 4000)
+    rest_i = rng.integers(0, n_items, 4000)
+    pairs = np.concatenate(
+        [
+            heavy,
+            np.stack([rest_u, rest_i], axis=1),
+            np.stack([np.arange(n_users), rng.integers(0, n_items, n_users)], 1),
+            np.stack([rng.integers(0, n_users, n_items), np.arange(n_items)], 1),
+        ]
+    ).astype(np.int64)
+    from coldrec_tpu.data.builder import ColdStartDataset
+    from coldrec_tpu.data.split import cold_start_split
+
+    res = cold_start_split(pairs, cold_object="item", seed=9)
+    data = ColdStartDataset(
+        training=res.warm_train, warm_val=res.warm_val,
+        cold_val=res.cold_val, overall_val=res.overall_val,
+        warm_test=res.warm_test, cold_test=res.cold_test,
+        overall_test=res.overall_test, user_num=res.user_num,
+        item_num=res.item_num, warm_user=res.warm_user,
+        warm_item=res.warm_item, cold_user=res.cold_user,
+        cold_item=res.cold_item, user_content=None, item_content=None,
+    )
+    args = default_args(
+        model="MF", dataset="synth", epochs=1, bs=128, emb_size=8,
+        early_stop=2, seed=5, save_emb=False, eval_backend="pallas",
+    )
+    m = model_factory(Config(args, data))
+    assert not m.sweep.pallas_supported("overall_test", "all")
+    m.run()  # must complete via the XLA fallback, no AssertionError
+    assert np.isfinite(m.overall_test_results[0][3])

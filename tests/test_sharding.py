@@ -205,6 +205,48 @@ def test_sharded_retrieval_lane_collision_fallback(mesh, rng):
     assert set(ids[0, :n_plant].tolist()) == set(plant)
 
 
+def test_sharded_retrieval_pad_ids_never_alias_real_items(mesh, rng):
+    """Per-shard pad columns must map to the global pad id n_items, not
+    offset into the NEXT shard's real id range: with a candidate pool
+    thinner than k, the filler ranks would otherwise surface concrete
+    wrong item ids. items_per (96) deliberately not a lane multiple so
+    every shard carries pad columns."""
+    from coldrec_tpu.parallel.ops import sharded_retrieval_topk
+
+    n_items, d, k = 8 * 96, 8, 5
+    b = 8
+    u = rng.standard_normal((b, d)).astype(np.float32)
+    items = rng.standard_normal((n_items, d)).astype(np.float32)
+    rated = np.full((b, 4), n_items, dtype=np.int32)
+    excluded = np.ones(n_items, bool)
+    keep = rng.choice(n_items, 2, replace=False)
+    excluded[keep] = False  # only 2 valid candidates < k
+    item_sharded = shard_rows(mesh, jnp.asarray(items))
+    excl_sharded = jax.device_put(
+        jnp.asarray(excluded),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(AXIS_MODEL)
+        ),
+    )
+    vals, ids = sharded_retrieval_topk(
+        mesh, jnp.asarray(u), item_sharded, rated, excl_sharded, k,
+        tile_u=8, block_i=128, interpret=True,
+    )
+    scores = u @ items.T
+    for i in range(b):
+        for rank in range(k):
+            iid = int(ids[i, rank])
+            if iid < n_items:
+                # any real id returned must carry its true score (possibly
+                # NEG-masked) — an aliased pad id would mismatch
+                expect = scores[i, iid] if not excluded[iid] else -10e8
+                assert abs(float(vals[i, rank]) - expect) < 1e-3, (
+                    i, rank, iid, float(vals[i, rank]), expect
+                )
+        # the two real candidates must occupy the top ranks
+        assert set(ids[i, :2].tolist()) == set(keep.tolist())
+
+
 def test_pad_rows():
     x = np.ones((10, 3), np.float32)
     out = pad_rows(x, 4)

@@ -202,7 +202,19 @@ def parse_result_json(path: str) -> dict:
 
 # t_{0.975, runs-1}: honest small-sample multiplier — a 5-sample std
 # estimate itself wobbles (chi^2_4), so 2.0 sigma under-covers
-_T975 = {2: 12.71, 3: 4.30, 4: 3.18, 5: 2.78, 6: 2.57, 8: 2.36, 10: 2.26}
+_T975 = {
+    2: 12.71, 3: 4.30, 4: 3.18, 5: 2.78, 6: 2.57, 7: 2.45, 8: 2.36,
+    9: 2.31, 10: 2.26,
+}
+
+
+def _tmul(runs: int) -> float:
+    """t_{0.975, runs-1}; 2.09 (df=19 value) past the table — NEVER the
+    runs=2 value as a fallback (a gap at runs=7 once made the tolerance
+    5x too loose)."""
+    if runs in _T975:
+        return _T975[runs]
+    return 2.09 if runs > 10 else _T975[2]
 
 
 def _cold_noise_band(scale: str, cold_object: str, runs: int):
@@ -216,11 +228,15 @@ def _cold_noise_band(scale: str, cold_object: str, runs: int):
     if not os.path.exists(path):
         return None
     null = json.load(open(path))["null"]
-    r = min((k for k in (2, 5) if k >= runs), default=5)
+    # the analysis stores bands only for means of 2 and 5 draws; any other
+    # run count gets NO noise-band rescue (borrowing a wider band would
+    # over-rescue genuinely-below cells, a narrower one would mislabel)
+    if runs not in (2, 5):
+        return None
     return {
-        cell: (st.get(f"corr_mean{r}_p1"), st.get(f"corr_mean{r}_p99"))
+        cell: (st.get(f"corr_mean{runs}_p1"), st.get(f"corr_mean{runs}_p99"))
         for cell, st in null.items()
-        if st.get(f"corr_mean{r}_p1") is not None
+        if st.get(f"corr_mean{runs}_p1") is not None
     }
 
 
@@ -245,7 +261,7 @@ def compare(ref: dict, ours: dict, top_n="20", runs: int = 2,
         "top_n": top_n, "runs": runs, "harness_version": 3,
         "metrics": {}, "pass": True,
     }
-    tmul = _T975.get(runs, 2.0 if runs > 10 else 12.71)
+    tmul = _tmul(runs)
     for setting in ("all", "cold", "warm"):
         for metric in ("Hit", "Precision", "Recall", "NDCG"):
             r = ref["metrics"][top_n][setting][metric]

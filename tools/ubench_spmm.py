@@ -1,15 +1,19 @@
 #!/usr/bin/env python
-"""On-chip A/B: XLA ELL SpMM (ops/spmm.py::_ell_apply, ELL part) vs the
-experimental Pallas blocked kernel (ops/pallas/spmm.py::spmm_ell_pallas).
+"""On-chip timing of the XLA ELL SpMM slab (ops/spmm.py::_ell_apply, ELL
+part) at the repo's two reference scales.
 
-Decides VERDICT round-1 task 7: wire the Pallas kernel behind make_sym_spmm
-if it wins at any real shape, else delete it and record the dead end.
+Historical note (VERDICT round-1 task 7): this tool originally A/B'd an
+experimental Pallas blocked ELL kernel against this XLA path. The kernel
+lost on both counts — Mosaic rejects the dynamic row gather outright on
+this toolchain, and the op is random-HBM-gather-bound so a hand kernel
+has no bandwidth to win back — and was deleted (PERF.md "Measured dead
+end"). The XLA-side measurement remains useful for tracking the SpMM
+workhorse round over round: 0.033 ms at the ML-like slab, ~124 ms at the
+book-crossing-like slab.
 
-Both paths consume the identical (x, ell_cols, ell_vals) ELL slab (COO tail
-excluded on both sides — the tail is shared code either way). Shapes mirror
-the repo's two reference scales: MovieLens-like (9.7k nodes / K=56) and
-book-crossing-like (347k nodes / K=24); K values come from the 95th-
-percentile degree rule in build_ell on power-law degree draws.
+Shapes: MovieLens-like (9.7k nodes / K=56) and book-crossing-like
+(347k nodes / K=24); K values come from the 95th-percentile degree rule
+in build_ell on power-law degree draws.
 """
 from __future__ import annotations
 
@@ -35,7 +39,9 @@ def make_ell(n, k, seed):
         c = rng.integers(0, n, (block, k), dtype=np.int32)
         mask = np.arange(k)[None, :] < deg[start:stop, None]
         cols[start:stop] = np.where(mask, c, 0)
-        vals[start:stop] = np.where(mask, 1.0 / np.maximum(deg[start:stop, None], 1), 0.0).astype(np.float32)
+        vals[start:stop] = np.where(
+            mask, 1.0 / np.maximum(deg[start:stop, None], 1), 0.0
+        ).astype(np.float32)
     return cols, vals
 
 
@@ -53,8 +59,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from coldrec_tpu.ops.pallas.spmm import spmm_ell_pallas
-
     print("devices:", jax.devices())
     results = {}
     for name, n, k, d in (
@@ -62,7 +66,9 @@ def main():
         ("bc", 346112, 24, 64),
     ):
         cols_h, vals_h = make_ell(n, k, seed=1)
-        x = jnp.asarray(np.random.default_rng(2).standard_normal((n, d)).astype(np.float32))
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((n, d)).astype(np.float32)
+        )
         cols, vals = jnp.asarray(cols_h), jnp.asarray(vals_h)
 
         @jax.jit
@@ -70,24 +76,8 @@ def main():
             return jnp.einsum("nk,nkd->nd", vals, x[cols])
 
         t_xla = time_fn(xla_ell, x, cols, vals)
-        rows = {"xla_ms": round(t_xla * 1e3, 3)}
-        for tile in (256, 512, 1024):
-            if n % tile:
-                continue
-            try:
-                t_p = time_fn(lambda x, c, v, t=tile: spmm_ell_pallas(x, c, v, tile_r=t), x, cols, vals)
-                rows[f"pallas_t{tile}_ms"] = round(t_p * 1e3, 3)
-            except Exception as e:  # noqa: BLE001
-                rows[f"pallas_t{tile}_ms"] = f"ERR {type(e).__name__}: {e}"[:120]
-        # correctness spot-check on the last tile that ran
-        ref = np.asarray(xla_ell(x, cols, vals))
-        try:
-            got = np.asarray(spmm_ell_pallas(x, cols, vals, tile_r=512 if n % 512 == 0 else 256))
-            rows["max_abs_err"] = float(np.abs(ref - got).max())
-        except Exception:
-            pass
-        results[name] = rows
-        print(name, json.dumps(rows))
+        results[name] = {"xla_ms": round(t_xla * 1e3, 3)}
+        print(name, json.dumps(results[name]))
     print("RESULT", json.dumps(results))
 
 
