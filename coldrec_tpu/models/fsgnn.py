@@ -23,14 +23,28 @@ import scipy.sparse as sp
 
 from ..data.builder import SparseGraphHost
 from ..ops.losses import bpr_loss, l2_reg_loss
-from ..ops.spmm import SparseGraph, make_sym_spmm, spmm
+from ..ops.spmm import build_ell, ell_arrays, sym_spmm_arrays
 from .cold_base import ColdStartModelBase
 from .common import dropout, linear, linear_params, make_train_step, xavier_uniform
 
 
-def ppr_topk_extra_edges(r_train, delta, n_iter, topk, weighted, chunk=1024):
+def ppr_topk_extra_edges(r_train, delta, n_iter, topk, weighted, chunk=1024,
+                         push_eps=1e-5):
     """PPR restart-to-user over the self-looped bipartite graph; add top-k
-    unobserved item links per user (FSGNN.py:54-103), chunked over users."""
+    unobserved item links per user (FSGNN.py:54-103), chunked over users.
+
+    Two paths behind one contract:
+      * dense power iteration (the reference's exact formulation) while the
+        (users x nodes) block stays small;
+      * native forward-push approximate PPR (Andersen-Chung-Lang; C++,
+        threaded — native/coldrec_native.cpp::ppr_push_topk) above that —
+        the dense block is (92k x 362k) float64 iterated 30x at
+        book-crossing scale (hours on the host), while push work is
+        O(1/(alpha*eps)) per source independent of node count. Documented
+        divergence: push carries an additive error <= push_eps*deg per
+        node; the top-k sets agree with the dense path on test graphs
+        (tests/test_native.py).
+    """
     nu, ni = r_train.shape
     n = nu + ni
     rows, cols = r_train.nonzero()
@@ -45,6 +59,40 @@ def ppr_topk_extra_edges(r_train, delta, n_iter, topk, weighted, chunk=1024):
         shape=(n, n),
     ).tocsr()
     a = a + sp.eye(n, format="csr", dtype=np.float32)
+
+    if nu * n > (1 << 28):
+        from ..native import ppr_push_topk_native
+
+        r_csr = r_train.tocsr().astype(np.float32)
+        r_csr.sort_indices()
+        res = ppr_push_topk_native(
+            a.indptr, a.indices, nu,
+            r_csr.indptr, r_csr.indices,
+            float(delta), float(push_eps), int(topk),
+        )
+        if res is None:
+            raise RuntimeError(
+                "PPR at this scale needs the native push kernel "
+                "(native/ failed to build); the dense power iteration "
+                f"would materialize a ({nu} x {n}) float64 block"
+            )
+        items, vals = res
+        valid = items >= 0
+        w = np.where(valid, np.clip(vals, 0.0, None), 0.0)
+        if weighted:
+            # per-row max-normalize; rows with zero max keep zero weights
+            # (same as the dense path's `if mx > 0` guard)
+            mx = w.max(axis=1, keepdims=True)
+            w = np.where(mx > 0, w / np.maximum(mx, 1e-30), w)
+        else:
+            w = valid.astype(np.float32)
+        out_r = np.repeat(np.arange(nu), items.shape[1])[valid.ravel()]
+        out_c = items.ravel()[valid.ravel()]
+        out_v = w.ravel()[valid.ravel()].astype(np.float32)
+        if out_r.size == 0:
+            return sp.csr_matrix((nu, ni), dtype=np.float32)
+        return sp.csr_matrix((out_v, (out_r, out_c)), shape=(nu, ni))
+
     deg = np.asarray(a.sum(1)).flatten()
     d_inv = np.divide(1.0, deg, out=np.zeros_like(deg), where=deg > 0)
     p_mat = (sp.diags(d_inv) @ a).tocsr().astype(np.float64)
@@ -192,35 +240,54 @@ class FSGNN(ColdStartModelBase):
             (a_uu, a_ii), format="csr"
         )
         merged = merged.maximum(merged.T)
-        self.adj_complete = make_sym_spmm(
-            SparseGraphHost.from_scipy(_sym_norm(merged))
-        )
-        self.adj_train = make_sym_spmm(self.data.norm_adj)
-        self.adj_uu = make_sym_spmm(
-            SparseGraphHost.from_scipy(
-                _sym_norm(a_uu + sp.eye(nu, format="csr", dtype=np.float32))
-            )
-        )
-        self.adj_ii = make_sym_spmm(
-            SparseGraphHost.from_scipy(
-                _sym_norm(a_ii + sp.eye(ni, format="csr", dtype=np.float32))
-            )
-        )
+        # All big device arrays (4 adjacencies, side features, edge lists)
+        # ride on a "bus" dict threaded through the jitted functions as an
+        # ARGUMENT: closure capture would embed them as HLO constants
+        # (~300 MB at book-crossing scale) and overflow the remote compile
+        # request (HTTP 413). See ops/spmm.py::sym_spmm_arrays.
         tp = self.data.train_pairs
-        self.edge_u = jnp.asarray(tp[:, 0].astype(np.int32))
-        self.edge_i = jnp.asarray(tp[:, 1].astype(np.int32))
         uu = sp.triu(a_uu, k=1).tocoo()
         ii = sp.triu(a_ii, k=1).tocoo()
-        self.uu_edges = (
-            jnp.asarray(uu.row.astype(np.int32)),
-            jnp.asarray(uu.col.astype(np.int32)),
-        )
-        self.ii_edges = (
-            jnp.asarray(ii.row.astype(np.int32)),
-            jnp.asarray(ii.col.astype(np.int32)),
-        )
+        self._n_all = nu + ni
+        self._bus = {
+            "g_complete": ell_arrays(
+                build_ell(SparseGraphHost.from_scipy(_sym_norm(merged)))
+            ),
+            "g_train": ell_arrays(build_ell(self.data.norm_adj)),
+            "g_uu": ell_arrays(build_ell(SparseGraphHost.from_scipy(
+                _sym_norm(a_uu + sp.eye(nu, format="csr", dtype=np.float32))
+            ))),
+            "g_ii": ell_arrays(build_ell(SparseGraphHost.from_scipy(
+                _sym_norm(a_ii + sp.eye(ni, format="csr", dtype=np.float32))
+            ))),
+            "raw_u": self.raw_u,
+            "raw_i": self.raw_i,
+            "edge_u": jnp.asarray(tp[:, 0].astype(np.int32)),
+            "edge_i": jnp.asarray(tp[:, 1].astype(np.int32)),
+            "uu_edges": (
+                jnp.asarray(uu.row.astype(np.int32)),
+                jnp.asarray(uu.col.astype(np.int32)),
+            ),
+            "ii_edges": (
+                jnp.asarray(ii.row.astype(np.int32)),
+                jnp.asarray(ii.col.astype(np.int32)),
+            ),
+        }
         self.n_layers = int(a.fsgnn_light_layers)
         self.setup_optimizer()
+
+    def batches(self):
+        for b in super().batches():
+            b["bus"] = self._bus
+            yield b
+
+    def _place_batch(self, batch):
+        # the bus is already device-resident; only shard the sample keys
+        bus = batch.pop("bus", None)
+        batch = super()._place_batch(batch)
+        if bus is not None:
+            batch["bus"] = bus
+        return batch
 
     def setup_optimizer(self):
         wd = float(self.args.fsgnn_weight_decay)
@@ -229,16 +296,20 @@ class FSGNN(ColdStartModelBase):
         )
         self.opt_state = self.optimizer.init(self.params)
         self._step = make_train_step(self.loss_fn, self.optimizer)
-        self._forward_jit = jax.jit(self.forward_tables)
+        self._forward_jit = self._make_forward_jit()
         self.user_emb, self.item_emb = self._forward_jit(self.params)
         self.best_user_emb, self.best_item_emb = self.user_emb, self.item_emb
         self._score_fn = None
 
+    def _make_forward_jit(self):
+        jf = jax.jit(self._forward_impl)
+        return lambda params: jf(params, self._bus)
+
     # ------------------------------------------------------------- encoders
-    def _gat_encode(self, params, h0_u, h0_i, hu_t, hi_t):
+    def _gat_encode(self, params, bus, h0_u, h0_i, hu_t, hi_t):
         """Segment-softmax bipartite GAT (FSGNN.py:319-356)."""
         nu, ni = h0_u.shape[0], h0_i.shape[0]
-        eu, ei = self.edge_u, self.edge_i
+        eu, ei = bus["edge_u"], bus["edge_i"]
         wh_u = linear(params["lin_u_gat"], h0_u)
         wh_i = linear(params["lin_i_gat"], h0_i)
 
@@ -264,18 +335,20 @@ class FSGNN(ColdStartModelBase):
         enc_u = jax.nn.sigmoid(agg_u + hu_t)
         return enc_u, enc_i
 
-    def _gcn_decode(self, params, enc):
+    def _gcn_decode(self, params, bus, enc):
         x = enc
         for k, lin_p in enumerate(params["fc_dec"]):
-            x = spmm(self.adj_train, linear(lin_p, x))
+            x = sym_spmm_arrays(
+                self._n_all, *bus["g_train"], linear(lin_p, x)
+            )
             if k < len(params["fc_dec"]) - 1:
                 x = jax.nn.relu(x)
         return x
 
-    def _forward_training(self, params, key):
+    def _forward_training(self, params, bus, key):
         nu = self.data.user_num
-        h0_u = linear(params["proj_u"], self.raw_u)
-        h0_i = linear(params["proj_i"], self.raw_i)
+        h0_u = linear(params["proj_u"], bus["raw_u"])
+        h0_i = linear(params["proj_i"], bus["raw_i"])
         p = float(self.args.fsgnn_p_drop)
         hu_t, hi_t = h0_u, h0_i
         if key is not None and p > 0:
@@ -288,8 +361,10 @@ class FSGNN(ColdStartModelBase):
             else:
                 hu_t = dropout(k1, h0_u, p, True)
                 hi_t = dropout(k2, h0_i, p, True)
-        enc_u, enc_i = self._gat_encode(params, h0_u, h0_i, hu_t, hi_t)
-        dec = self._gcn_decode(params, jnp.concatenate([enc_u, enc_i], 0))
+        enc_u, enc_i = self._gat_encode(params, bus, h0_u, h0_i, hu_t, hi_t)
+        dec = self._gcn_decode(
+            params, bus, jnp.concatenate([enc_u, enc_i], 0)
+        )
         dec_u, dec_i = dec[:nu], dec[nu:]
         # L_fc (cold side only by default, FSGNN.py:368-387)
         if bool(self.args.fsgnn_lfc_cold_side_only):
@@ -303,21 +378,23 @@ class FSGNN(ColdStartModelBase):
             l_fc = jnp.mean((dec_u - h0_u) ** 2) + jnp.mean((dec_i - h0_i) ** 2)
         return dec_u, dec_i, l_fc
 
-    def _structure_loss(self, params, hu, hi, key):
-        def gcn(h, adj, layers):
+    def _structure_loss(self, params, bus, hu, hi, key):
+        def gcn(h, g_arrs, n_rows, layers):
             x = h
             for lin_p in layers:
-                x = jax.nn.relu(spmm(adj, linear(lin_p, x)))
+                x = jax.nn.relu(
+                    sym_spmm_arrays(n_rows, *g_arrs, linear(lin_p, x))
+                )
             return x
 
-        hu_n = gcn(hu, self.adj_uu, params["sc_uu"])
-        hi_n = gcn(hi, self.adj_ii, params["sc_ii"])
+        hu_n = gcn(hu, bus["g_uu"], self.data.user_num, params["sc_uu"])
+        hi_n = gcn(hi, bus["g_ii"], self.data.item_num, params["sc_ii"])
         max_e = int(self.args.fsgnn_sc_max_edges)
         k1, k2 = jax.random.split(key)
         parts = []
         for (rows, cols), h_n, k in (
-            (self.uu_edges, hu_n, k1),
-            (self.ii_edges, hi_n, k2),
+            (bus["uu_edges"], hu_n, k1),
+            (bus["ii_edges"], hi_n, k2),
         ):
             m = rows.shape[0]
             if m == 0:
@@ -335,27 +412,28 @@ class FSGNN(ColdStartModelBase):
             return jnp.zeros(())
         return sum(parts) / len(parts)
 
-    def _lightgcn(self, ego_u, ego_i):
+    def _lightgcn(self, bus, ego_u, ego_i):
         ego = jnp.concatenate([ego_u, ego_i], 0)
         acc = ego
         h = ego
         for _ in range(self.n_layers):
-            h = spmm(self.adj_complete, h)
+            h = sym_spmm_arrays(self._n_all, *bus["g_complete"], h)
             acc = acc + h
         mean = acc / (self.n_layers + 1)
         nu = ego_u.shape[0]
         return mean[:nu], mean[nu:]
 
     def loss_fn(self, params, batch, key):
+        bus = batch["bus"]
         k1, k2 = jax.random.split(key)
-        dec_u, dec_i, l_fc = self._forward_training(params, k1)
-        l_sc = self._structure_loss(params, dec_u, dec_i, k2)
+        dec_u, dec_i, l_fc = self._forward_training(params, bus, k1)
+        l_sc = self._structure_loss(params, bus, dec_u, dec_i, k2)
         if self.id_residual:
             ego_u = dec_u + params["emb_user"]
             ego_i = dec_i + params["emb_item"]
         else:
             ego_u, ego_i = dec_u, dec_i
-        rec_u, rec_i = self._lightgcn(ego_u, ego_i)
+        rec_u, rec_i = self._lightgcn(bus, ego_u, ego_i)
         u = rec_u[batch["user"]]
         pos = rec_i[batch["pos_item"]]
         neg = rec_i[batch["neg_item"]]
@@ -368,8 +446,11 @@ class FSGNN(ColdStartModelBase):
         )
 
     def forward_tables(self, params):
-        dec_u, dec_i, _ = self._forward_training(params, None)
+        return self._forward_impl(params, self._bus)
+
+    def _forward_impl(self, params, bus):
+        dec_u, dec_i, _ = self._forward_training(params, bus, None)
         if self.id_residual:
             dec_u = dec_u + params["emb_user"]
             dec_i = dec_i + params["emb_item"]
-        return self._lightgcn(dec_u, dec_i)
+        return self._lightgcn(bus, dec_u, dec_i)

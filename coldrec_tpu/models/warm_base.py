@@ -126,7 +126,7 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
                     return self.loss_fn(params, state, batch, None)
 
                 self._step = make_train_step_aux(loss_no_key, self.optimizer)
-            self._forward_jit = jax.jit(self.forward_tables)
+            self._forward_jit = self._make_forward_jit()
             self.user_emb, self.item_emb = self._forward_jit(
                 self.params, self.net_state
             )
@@ -138,10 +138,17 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
                     return self.loss_fn(params, batch, None)
 
                 self._step = make_train_step(loss_no_key, self.optimizer)
-            self._forward_jit = jax.jit(self.forward_tables)
+            self._forward_jit = self._make_forward_jit()
             self.user_emb, self.item_emb = self._forward_jit(self.params)
         self.best_user_emb, self.best_item_emb = self.user_emb, self.item_emb
         self._score_fn = None
+
+    def _make_forward_jit(self):
+        """Hook: models whose forward closes over very large device arrays
+        (which would lower to HLO constants and overflow the remote
+        compile request) override this to pass them as arguments
+        (see FSGNN)."""
+        return jax.jit(self.forward_tables)
 
     # ------------------------------------------------------------- contract
     def loss_fn(self, params, batch, key):  # pragma: no cover - abstract

@@ -27,20 +27,34 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO_PATH):
+
+    def _make(force: bool) -> bool:
         try:
             subprocess.run(
-                ["make", "-s", "-C", _NATIVE_DIR],
+                ["make", "-s", "-B" if force else "all", "-C", _NATIVE_DIR],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
+            return True
         except Exception:
-            return None
+            return False
+
+    if not os.path.exists(_SO_PATH) and not _make(force=False):
+        return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "ppr_push_topk"):
+        # stale build from an older source revision: force-rebuild once
+        del lib
+        if not _make(force=True):
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.sample_negatives.argtypes = [
         i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
@@ -51,6 +65,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.count_csv_rows.restype = ctypes.c_int64
     lib.parse_interactions.argtypes = [ctypes.c_char_p, i64p, ctypes.c_int64]
     lib.parse_interactions.restype = ctypes.c_int64
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.ppr_push_topk.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, i64p, i32p,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int32, i32p, f32p,
+    ]
     _lib = lib
     return _lib
 
@@ -98,6 +118,41 @@ def permutation_native(n: int, seed: int) -> Optional[np.ndarray]:
     out = np.empty(n, np.int64)
     lib.permutation(n, ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF), _ptr(out))
     return out
+
+
+def ppr_push_topk_native(
+    indptr: np.ndarray,  # (n+1,) graph CSR (users then items, self-loops)
+    indices: np.ndarray,  # (nnz,)
+    nu: int,
+    obs_indptr: np.ndarray,  # (nu+1,) per-user observed items CSR
+    obs_items: np.ndarray,  # sorted item LOCAL ids per user
+    alpha: float,
+    eps: float,
+    topk: int,
+):
+    """Forward-push approximate PPR + per-user unobserved-item top-k
+    (threaded C++). Returns (items (nu, topk) int32 pad -1,
+    scores (nu, topk) f32) or None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = indptr.shape[0] - 1
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    obs_indptr = np.ascontiguousarray(obs_indptr, np.int64)
+    obs_items = np.ascontiguousarray(obs_items, np.int32)
+    out_items = np.empty((nu, topk), np.int32)
+    out_vals = np.empty((nu, topk), np.float32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    f32 = ctypes.POINTER(ctypes.c_float)
+    lib.ppr_push_topk(
+        n, nu, _ptr(indptr), indices.ctypes.data_as(i32),
+        _ptr(obs_indptr), obs_items.ctypes.data_as(i32),
+        ctypes.c_double(alpha), ctypes.c_double(eps),
+        ctypes.c_int32(topk),
+        out_items.ctypes.data_as(i32), out_vals.ctypes.data_as(f32),
+    )
+    return out_items, out_vals
 
 
 def parse_interactions_native(path: str) -> Optional[np.ndarray]:

@@ -160,19 +160,34 @@ def _fused_sweep(
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _resolve(cand_v, cand_i, ghost, rated_pad, k: int):
-    """Reject rated candidates, then top-k + the ghost exactness flag.
+    """Reject rated candidates, then top-k + the exactness flags.
 
     Membership is a broadcast equality reduce over (B, SLOTS*128, R) —
     ~67M byte-compares at bench shape, microseconds on the VPU, where a
     vmapped searchsorted lowered to a serial binary search that cost 70 ms
-    (20x the kernel itself)."""
+    (20x the kernel itself).
+
+    Tie handling (torch.topk parity — the reference breaks ties by lowest
+    index): the selected k are re-ordered by (-value, id); and a row is
+    flagged whenever MORE candidates tie with the k-th value than the
+    selection kept (the kernel's lane-structured candidate order could
+    then pick a different tied subset than lowest-index-first). Together
+    with the ghost bound this makes the routed result id-exact, not just
+    value-exact."""
     is_rated = jnp.any(
         cand_i[:, :, None] == rated_pad[:, None, :], axis=-1
     )
     cand_v = jnp.where(is_rated, INIT_NEG, cand_v)
     vals, pos = jax.lax.top_k(cand_v, k)
     ids = jnp.take_along_axis(cand_i, pos, axis=1)
-    suspicious = jnp.max(ghost, axis=1) >= vals[:, k - 1]
+    # torch tie order within the selection: primary -value, secondary id
+    order = jnp.lexsort((ids, -vals), axis=-1)
+    vals = jnp.take_along_axis(vals, order, axis=1)
+    ids = jnp.take_along_axis(ids, order, axis=1)
+    theta = vals[:, k - 1]
+    n_eq_total = jnp.sum(cand_v == theta[:, None], axis=1)
+    n_eq_kept = jnp.sum(vals == theta[:, None], axis=1)
+    suspicious = (jnp.max(ghost, axis=1) >= theta) | (n_eq_total > n_eq_kept)
     return vals, ids, suspicious
 
 
@@ -271,21 +286,34 @@ def retrieval_topk(
     sus = np.asarray(suspicious)
     if sus.any():
         rows = np.flatnonzero(sus)
-        # pad the row set to a small multiple so recompiles stay bounded
-        n_pad = _round_up(rows.size, 8)
+        # Chunked fallback: a degenerate score distribution can flag EVERY
+        # row at once — e.g. SimGCL's ego-free layer mean gives isolated
+        # cold items exactly-zero embeddings, so a cold-setting sweep is
+        # one giant tie and the ghost test fires for all users. One
+        # unchunked (rows, I) plane then OOMs at book-crossing scale
+        # (58k x 270k f32 = 63 GB). Fixed 4096-row chunks bound it (and
+        # recompiles: two program shapes at most — full chunk + tail pad).
+        chunk = 4096
+        n_pad = _round_up(rows.size, 8 if rows.size < chunk else chunk)
         rows_pad = np.zeros(n_pad, np.int64)
         rows_pad[: rows.size] = rows
-        rows_d = jnp.asarray(rows_pad)
-        fv, fi = _exact_rows(
-            user_emb[rows_d],
-            item_emb,
-            rated_ids[rows_d].astype(jnp.int32),
-            excl,
-            k,
-            bf16,
-        )
-        vals[rows] = np.asarray(fv)[: rows.size]
-        ids[rows] = np.asarray(fi)[: rows.size]
+        fvs, fis = [], []
+        for s in range(0, n_pad, chunk):
+            rows_d = jnp.asarray(rows_pad[s: s + chunk])
+            fv, fi = _exact_rows(
+                user_emb[rows_d],
+                item_emb,
+                rated_ids[rows_d].astype(jnp.int32),
+                excl,
+                k,
+                bf16,
+            )
+            fvs.append(np.asarray(fv))
+            fis.append(np.asarray(fi))
+        fv = np.concatenate(fvs)[: rows.size]
+        fi = np.concatenate(fis)[: rows.size]
+        vals[rows] = fv
+        ids[rows] = fi
     return vals, ids
 
 

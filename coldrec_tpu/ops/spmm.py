@@ -11,6 +11,7 @@ For the sharded multi-chip path see :mod:`coldrec_tpu.parallel.spmm_shard`.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -136,6 +137,51 @@ def make_sym_spmm(host_or_ell):
 
     f.defvjp(fwd, bwd)
     return f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sym_spmm_arrays(
+    n_rows: int, ell_cols, ell_vals, tail_rows, tail_cols, tail_vals, x
+):
+    """A @ x for SYMMETRIC A with the graph passed as jit ARGUMENTS.
+
+    Same math and custom VJP as :func:`make_sym_spmm`, but nothing is
+    closure-captured: a captured device array lowers to an HLO constant
+    embedded in the compile request, and a model holding several
+    book-crossing-scale graphs (FSGNN: ~300 MB across 4 adjacencies)
+    overflows the remote compiler's request body (HTTP 413). Thread the
+    five arrays through the jitted function's inputs (e.g. on the batch
+    dict) and pass ``n_rows`` statically.
+    """
+    g = EllGraph(ell_cols, ell_vals, tail_rows, tail_cols, tail_vals, n_rows)
+    return _ell_apply(g, x)
+
+
+def _ssa_fwd(n_rows, c, v, tr, tc, tv, x):
+    return sym_spmm_arrays(n_rows, c, v, tr, tc, tv, x), (c, v, tr, tc, tv)
+
+
+def _ssa_bwd(n_rows, res, g):
+    c, v, tr, tc, tv = res
+
+    def zero(a):
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            return np.zeros(a.shape, jax.dtypes.float0)
+        return jnp.zeros_like(a)
+
+    gx = _ell_apply(EllGraph(c, v, tr, tc, tv, n_rows), g)
+    return (zero(c), zero(v), zero(tr), zero(tc), zero(tv), gx)
+
+
+sym_spmm_arrays.defvjp(_ssa_fwd, _ssa_bwd)
+
+
+def ell_arrays(graph: EllGraph):
+    """The five array leaves of an EllGraph (bus form for sym_spmm_arrays)."""
+    return (
+        graph.ell_cols, graph.ell_vals,
+        graph.tail_rows, graph.tail_cols, graph.tail_vals,
+    )
 
 
 def spmm_ref(host, x: np.ndarray) -> np.ndarray:

@@ -277,19 +277,27 @@ def sharded_retrieval_topk(
     sus = np.asarray(sus_d[:n_users])
     if sus.any():
         rows = np.flatnonzero(sus)
-        n_pad = _round_up(rows.size, 8)
+        # chunked like retrieval_topk's fallback: an all-tie score plane
+        # (e.g. zero-embedding cold items) flags every row at once
+        chunk = 4096
+        n_pad = _round_up(rows.size, 8 if rows.size < chunk else chunk)
         rows_pad = np.zeros(n_pad, np.int64)
         rows_pad[: rows.size] = rows
-        fv, fi = _sharded_exact_rows(
-            mesh,
-            jnp.asarray(user_emb)[jnp.asarray(rows_pad)],
-            item_emb,
-            np.asarray(rated_pad)[rows_pad],
-            excluded,
-            k,
-        )
-        vals[rows] = np.asarray(fv)[: rows.size]
-        ids[rows] = np.asarray(fi)[: rows.size]
+        fvs, fis = [], []
+        for s in range(0, n_pad, chunk):
+            sel = jnp.asarray(rows_pad[s: s + chunk])
+            fv, fi = _sharded_exact_rows(
+                mesh,
+                jnp.asarray(user_emb)[sel],
+                item_emb,
+                np.asarray(rated_pad)[rows_pad[s: s + chunk]],
+                excluded,
+                k,
+            )
+            fvs.append(np.asarray(fv))
+            fis.append(np.asarray(fi))
+        vals[rows] = np.concatenate(fvs)[: rows.size]
+        ids[rows] = np.concatenate(fis)[: rows.size]
     return vals, ids
 
 

@@ -176,3 +176,137 @@ int64_t parse_interactions(const char *path, int64_t *out, int64_t max_rows) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Forward-push personalized PageRank (Andersen-Chung-Lang approximate PPR)
+// with per-source top-k item selection.
+//
+// Replaces FSGNN's dense power iteration (reference FSGNN.py:54-103; our
+// models/fsgnn.py::ppr_topk_extra_edges) at large graph sizes: the dense
+// formulation iterates a (chunk, n_nodes) float64 block 30 times on the
+// host — hours at book-crossing scale (92k users x 362k nodes) — while
+// push work is O(1/(alpha*eps)) per source independent of n.
+//
+// Graph: CSR over n nodes (users 0..nu-1 then items, self-loops included,
+// symmetric). Pushes are row-stochastic (out-degree normalized), matching
+// the reference's D^-1 A transition matrix. Per source u the top-k item
+// nodes by PPR score, excluding u's observed items, are written to
+// out_items/out_vals (pad -1 / 0). Runs with std::thread over sources.
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct PushScratch {
+  std::vector<double> p, r;
+  std::vector<uint8_t> inq;
+  std::vector<int32_t> touched, queue;
+  explicit PushScratch(int64_t n) : p(n, 0.0), r(n, 0.0), inq(n, 0) {
+    touched.reserve(1 << 16);
+    queue.reserve(1 << 14);
+  }
+};
+
+static void push_one_source(
+    int64_t n, int64_t nu, const int64_t *indptr, const int32_t *indices,
+    const int64_t *obs_indptr, const int32_t *obs_items, double alpha,
+    double eps, int32_t topk, int64_t u, PushScratch &s, int32_t *out_items,
+    float *out_vals) {
+  s.touched.clear();
+  s.queue.clear();
+  s.r[u] = 1.0;
+  s.inq[u] = 1;
+  s.touched.push_back((int32_t)u);
+  s.queue.push_back((int32_t)u);
+  size_t head = 0;
+  while (head < s.queue.size()) {
+    int32_t v = s.queue[head++];
+    s.inq[v] = 0;
+    double rv = s.r[v];
+    int64_t beg = indptr[v], end = indptr[v + 1];
+    int64_t deg = end - beg;
+    if (deg <= 0 || rv < eps * (double)deg) continue;
+    if (s.p[v] == 0.0 && s.r[v] == 0.0) s.touched.push_back(v);
+    s.p[v] += alpha * rv;
+    double share = (1.0 - alpha) * rv / (double)deg;
+    s.r[v] = 0.0;
+    for (int64_t e = beg; e < end; e++) {
+      int32_t nb = indices[e];
+      if (s.p[nb] == 0.0 && s.r[nb] == 0.0) s.touched.push_back(nb);
+      s.r[nb] += share;
+      if (!s.inq[nb]) {
+        int64_t dnb = indptr[nb + 1] - indptr[nb];
+        if (s.r[nb] >= eps * (double)dnb) {
+          s.inq[nb] = 1;
+          s.queue.push_back(nb);
+        }
+      }
+    }
+  }
+  // top-k item nodes by p, excluding observed items of u
+  const int32_t *obs_b = obs_items + obs_indptr[u];
+  const int32_t *obs_e = obs_items + obs_indptr[u + 1];
+  std::vector<std::pair<float, int32_t>> cand;
+  cand.reserve(64);
+  for (int32_t node : s.touched) {
+    if (node < nu) continue;
+    double pv = s.p[node];
+    if (pv <= 0.0) continue;
+    int32_t item = node - (int32_t)nu;
+    if (std::binary_search(obs_b, obs_e, item)) continue;
+    cand.emplace_back((float)pv, item);
+  }
+  int32_t k_eff = (int32_t)std::min<size_t>(topk, cand.size());
+  if (k_eff > 0) {
+    std::nth_element(
+        cand.begin(), cand.begin() + (k_eff - 1), cand.end(),
+        [](const auto &a, const auto &b) { return a.first > b.first; });
+  }
+  for (int32_t i = 0; i < topk; i++) {
+    if (i < k_eff) {
+      out_items[i] = cand[i].second;
+      out_vals[i] = cand[i].first;
+    } else {
+      out_items[i] = -1;
+      out_vals[i] = 0.0f;
+    }
+  }
+  // reset scratch
+  for (int32_t node : s.touched) {
+    s.p[node] = 0.0;
+    s.r[node] = 0.0;
+    s.inq[node] = 0;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void ppr_push_topk(int64_t n, int64_t nu, const int64_t *indptr,
+                   const int32_t *indices, const int64_t *obs_indptr,
+                   const int32_t *obs_items, double alpha, double eps,
+                   int32_t topk, int32_t *out_items, float *out_vals) {
+  unsigned nthreads = std::thread::hardware_concurrency();
+  if (nthreads == 0) nthreads = 1;
+  if (nthreads > 8) nthreads = 8;
+  std::vector<std::thread> pool;
+  int64_t per = (nu + nthreads - 1) / nthreads;
+  for (unsigned t = 0; t < nthreads; t++) {
+    int64_t b = (int64_t)t * per, e = std::min<int64_t>(b + per, nu);
+    if (b >= e) break;
+    pool.emplace_back([=]() {
+      PushScratch scratch(n);
+      for (int64_t u = b; u < e; u++) {
+        push_one_source(n, nu, indptr, indices, obs_indptr, obs_items, alpha,
+                        eps, topk, u, scratch,
+                        out_items + (size_t)u * topk,
+                        out_vals + (size_t)u * topk);
+      }
+    });
+  }
+  for (auto &th : pool) th.join();
+}
+
+}  // extern "C"

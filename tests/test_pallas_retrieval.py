@@ -121,6 +121,27 @@ def test_high_scoring_rated_items_rejected(rng):
     assert not (set(ids.ravel().tolist()) & set(hot.tolist()))
 
 
+def test_all_tie_scores_route_through_fallback(rng):
+    """Degenerate case: all candidate scores identical (SimGCL's ego-free
+    layer mean gives isolated cold items exactly-zero embeddings). The
+    ghost test fires for every row; the chunked fallback must return the
+    torch tie order (lowest index first) for parity."""
+    n_users, n_items, d, k = 24, 512, 8, 10
+    ue = rng.standard_normal((n_users, d)).astype(np.float32)
+    ie = np.zeros((n_items, d), dtype=np.float32)  # all scores tie at 0
+    rated = np.full((n_users, 4), n_items, dtype=np.int32)
+    excluded = np.zeros(n_items, dtype=bool)
+    excluded[rng.choice(n_items, n_items // 2, replace=False)] = True
+    vals, ids = retrieval_topk(
+        ue, ie, rated, excluded, k, tile_u=8, block_i=128, interpret=True
+    )
+    ref_vals, ref_ids = masked_topk(
+        jnp.asarray(ue @ ie.T), jnp.asarray(rated), jnp.asarray(excluded), k
+    )
+    np.testing.assert_array_equal(vals, np.asarray(ref_vals))
+    np.testing.assert_array_equal(ids, np.asarray(ref_ids))
+
+
 def test_lane_collision_triggers_exact_fallback(rng):
     """>SLOTS of the true top-k in one mod-128 lane class: the ghost bound
     must flag the user and the fallback must return the exact top-k."""
