@@ -168,27 +168,37 @@ def _resolve(cand_v, cand_i, ghost, rated_pad, k: int):
     (20x the kernel itself).
 
     Tie handling (torch.topk parity — the reference breaks ties by lowest
-    index): the selected k are re-ordered by (-value, id); and a row is
-    flagged whenever MORE candidates tie with the k-th value than the
-    selection kept (the kernel's lane-structured candidate order could
-    then pick a different tied subset than lowest-index-first). Together
-    with the ghost bound this makes the routed result id-exact, not just
-    value-exact."""
+    index): a row is flagged whenever MORE candidates tie with the k-th
+    value than the selection kept (the kernel's lane-structured candidate
+    order could then pick a different tied subset than lowest-index-
+    first); both flags are permutation-invariant, so the (-value, id)
+    re-ordering itself happens on the HOST after download
+    (_torch_tie_order) — every device-side formulation of the k-wide
+    reorder measured 25-45 G pairs/s off the sweep (lexsort, scatter,
+    and one-hot einsum alike; the flags are free). Together with the
+    ghost bound the routed result is id-exact, not just value-exact."""
     is_rated = jnp.any(
         cand_i[:, :, None] == rated_pad[:, None, :], axis=-1
     )
     cand_v = jnp.where(is_rated, INIT_NEG, cand_v)
     vals, pos = jax.lax.top_k(cand_v, k)
     ids = jnp.take_along_axis(cand_i, pos, axis=1)
-    # torch tie order within the selection: primary -value, secondary id
-    order = jnp.lexsort((ids, -vals), axis=-1)
-    vals = jnp.take_along_axis(vals, order, axis=1)
-    ids = jnp.take_along_axis(ids, order, axis=1)
     theta = vals[:, k - 1]
     n_eq_total = jnp.sum(cand_v == theta[:, None], axis=1)
     n_eq_kept = jnp.sum(vals == theta[:, None], axis=1)
     suspicious = (jnp.max(ghost, axis=1) >= theta) | (n_eq_total > n_eq_kept)
     return vals, ids, suspicious
+
+
+def _torch_tie_order(vals: np.ndarray, ids: np.ndarray):
+    """Host-side (-value, id) reorder of each row — torch.topk's tie rule.
+    vals arrive descending from lax.top_k, so this only permutes within
+    equal-value runs."""
+    order = np.lexsort((ids, -vals), axis=-1)
+    return (
+        np.take_along_axis(vals, order, axis=1),
+        np.take_along_axis(ids, order, axis=1),
+    )
 
 
 def _round_up(x, m):
@@ -281,8 +291,7 @@ def retrieval_topk(
         user_emb, item_emb, rated_ids, excl,
         i_pad, b_pad, tile_u, block_i, k, interpret, bf16,
     )
-    vals = np.array(vals_d)
-    ids = np.array(ids_d)
+    vals, ids = _torch_tie_order(np.array(vals_d), np.array(ids_d))
     sus = np.asarray(suspicious)
     if sus.any():
         rows = np.flatnonzero(sus)

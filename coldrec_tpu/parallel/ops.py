@@ -272,8 +272,11 @@ def sharded_retrieval_topk(
         .at[:n_users].set(jnp.asarray(rated_pad, jnp.int32))
     )
     vals_d, ids_d, sus_d = _resolve(av, ai, ag, rated, k)
-    vals = np.array(vals_d[:n_users])
-    ids = np.array(ids_d[:n_users])
+    from ..ops.pallas.retrieval import _torch_tie_order
+
+    vals, ids = _torch_tie_order(
+        np.array(vals_d[:n_users]), np.array(ids_d[:n_users])
+    )
     sus = np.asarray(sus_d[:n_users])
     if sus.any():
         rows = np.flatnonzero(sus)
