@@ -28,6 +28,12 @@ from .cold_base import ColdStartModelBase
 from .common import dropout, linear, linear_params, make_train_step, xavier_uniform
 
 
+# dense power-iteration PPR only while the (users x nodes) block fits
+# this element budget; above it the native forward-push path runs
+# (module constant so tests can force the push branch on small graphs)
+_DENSE_PPR_ELEMS = 1 << 28
+
+
 def ppr_topk_extra_edges(r_train, delta, n_iter, topk, weighted, chunk=1024,
                          push_eps=1e-5):
     """PPR restart-to-user over the self-looped bipartite graph; add top-k
@@ -40,10 +46,15 @@ def ppr_topk_extra_edges(r_train, delta, n_iter, topk, weighted, chunk=1024,
         threaded — native/coldrec_native.cpp::ppr_push_topk) above that —
         the dense block is (92k x 362k) float64 iterated 30x at
         book-crossing scale (hours on the host), while push work is
-        O(1/(alpha*eps)) per source independent of node count. Documented
-        divergence: push carries an additive error <= push_eps*deg per
-        node; the top-k sets agree with the dense path on test graphs
-        (tests/test_native.py).
+        O(1/(alpha*eps)) per source independent of node count.
+
+    Documented divergences of the push path: (a) scores carry an additive
+    error <= push_eps*deg per node — top-k sets agree with the dense path
+    on test graphs (tests/test_native.py); (b) it emits only items the
+    push actually REACHED (p > 0), so a weakly-connected user can get
+    fewer than topk extra edges — the dense path pads unweighted rows up
+    to k_eff with arbitrary zero-score items (argpartition over zeros),
+    which carry no ranking signal.
     """
     nu, ni = r_train.shape
     n = nu + ni
@@ -60,7 +71,7 @@ def ppr_topk_extra_edges(r_train, delta, n_iter, topk, weighted, chunk=1024,
     ).tocsr()
     a = a + sp.eye(n, format="csr", dtype=np.float32)
 
-    if nu * n > (1 << 28):
+    if nu * n > _DENSE_PPR_ELEMS:
         from ..native import ppr_push_topk_native
 
         r_csr = r_train.tocsr().astype(np.float32)

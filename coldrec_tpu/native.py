@@ -28,33 +28,30 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
 
-    def _make(force: bool) -> bool:
-        try:
-            subprocess.run(
-                ["make", "-s", "-B" if force else "all", "-C", _NATIVE_DIR],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-            return True
-        except Exception:
-            return False
-
-    if not os.path.exists(_SO_PATH) and not _make(force=False):
+    # ALWAYS run make first: the Makefile's source dependency rebuilds a
+    # stale .so from an older revision (cheap no-op when up to date). A
+    # stale handle cannot be swapped in-process — glibc dlopen caches by
+    # pathname — so rebuilding before the first CDLL is the only safe
+    # point.
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass  # fall through: an existing current .so may still load
+    if not os.path.exists(_SO_PATH):
         return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
     if not hasattr(lib, "ppr_push_topk"):
-        # stale build from an older source revision: force-rebuild once
-        del lib
-        if not _make(force=True):
-            return None
-        try:
-            lib = ctypes.CDLL(_SO_PATH)
-        except OSError:
-            return None
+        # stale build survived (make failed): degrade to the numpy
+        # fallbacks rather than raising on argtypes below
+        return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.sample_negatives.argtypes = [
         i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,

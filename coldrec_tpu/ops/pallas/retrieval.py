@@ -205,6 +205,33 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def apply_exact_fallback(vals, ids, sus, exact_chunk_fn, chunk=4096):
+    """Recompute ghost/tie-flagged rows via `exact_chunk_fn(rows_pad)` in
+    fixed-size chunks, scattering results back into (vals, ids) in place.
+
+    Chunking bounds memory when a degenerate score distribution flags
+    EVERY row at once (e.g. SimGCL's all-tie cold scores: one unchunked
+    (58k, 270k) plane OOM'd at book-crossing scale). Padding policy: row
+    counts below `chunk` round up to a multiple of 8 (so distinct small
+    program shapes stay bounded at chunk/8, each cheap); larger counts
+    round up to whole chunks, so the tail chunk scores up to chunk-1
+    duplicate rows — wasted work, but one program shape.
+    """
+    rows = np.flatnonzero(sus)
+    if rows.size == 0:
+        return
+    n_pad = _round_up(rows.size, 8 if rows.size < chunk else chunk)
+    rows_pad = np.zeros(n_pad, np.int64)
+    rows_pad[: rows.size] = rows
+    fvs, fis = [], []
+    for s in range(0, n_pad, chunk):
+        fv, fi = exact_chunk_fn(rows_pad[s: s + chunk])
+        fvs.append(np.asarray(fv))
+        fis.append(np.asarray(fi))
+    vals[rows] = np.concatenate(fvs)[: rows.size]
+    ids[rows] = np.concatenate(fis)[: rows.size]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -292,37 +319,19 @@ def retrieval_topk(
         i_pad, b_pad, tile_u, block_i, k, interpret, bf16,
     )
     vals, ids = _torch_tie_order(np.array(vals_d), np.array(ids_d))
-    sus = np.asarray(suspicious)
-    if sus.any():
-        rows = np.flatnonzero(sus)
-        # Chunked fallback: a degenerate score distribution can flag EVERY
-        # row at once — e.g. SimGCL's ego-free layer mean gives isolated
-        # cold items exactly-zero embeddings, so a cold-setting sweep is
-        # one giant tie and the ghost test fires for all users. One
-        # unchunked (rows, I) plane then OOMs at book-crossing scale
-        # (58k x 270k f32 = 63 GB). Fixed 4096-row chunks bound it (and
-        # recompiles: two program shapes at most — full chunk + tail pad).
-        chunk = 4096
-        n_pad = _round_up(rows.size, 8 if rows.size < chunk else chunk)
-        rows_pad = np.zeros(n_pad, np.int64)
-        rows_pad[: rows.size] = rows
-        fvs, fis = [], []
-        for s in range(0, n_pad, chunk):
-            rows_d = jnp.asarray(rows_pad[s: s + chunk])
-            fv, fi = _exact_rows(
-                user_emb[rows_d],
-                item_emb,
-                rated_ids[rows_d].astype(jnp.int32),
-                excl,
-                k,
-                bf16,
-            )
-            fvs.append(np.asarray(fv))
-            fis.append(np.asarray(fi))
-        fv = np.concatenate(fvs)[: rows.size]
-        fi = np.concatenate(fis)[: rows.size]
-        vals[rows] = fv
-        ids[rows] = fi
+
+    def exact_chunk(rows_pad):
+        rows_d = jnp.asarray(rows_pad)
+        return _exact_rows(
+            user_emb[rows_d],
+            item_emb,
+            rated_ids[rows_d].astype(jnp.int32),
+            excl,
+            k,
+            bf16,
+        )
+
+    apply_exact_fallback(vals, ids, np.asarray(suspicious), exact_chunk)
     return vals, ids
 
 

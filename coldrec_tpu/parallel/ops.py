@@ -272,35 +272,23 @@ def sharded_retrieval_topk(
         .at[:n_users].set(jnp.asarray(rated_pad, jnp.int32))
     )
     vals_d, ids_d, sus_d = _resolve(av, ai, ag, rated, k)
-    from ..ops.pallas.retrieval import _torch_tie_order
+    from ..ops.pallas.retrieval import _torch_tie_order, apply_exact_fallback
 
     vals, ids = _torch_tie_order(
         np.array(vals_d[:n_users]), np.array(ids_d[:n_users])
     )
-    sus = np.asarray(sus_d[:n_users])
-    if sus.any():
-        rows = np.flatnonzero(sus)
-        # chunked like retrieval_topk's fallback: an all-tie score plane
-        # (e.g. zero-embedding cold items) flags every row at once
-        chunk = 4096
-        n_pad = _round_up(rows.size, 8 if rows.size < chunk else chunk)
-        rows_pad = np.zeros(n_pad, np.int64)
-        rows_pad[: rows.size] = rows
-        fvs, fis = [], []
-        for s in range(0, n_pad, chunk):
-            sel = jnp.asarray(rows_pad[s: s + chunk])
-            fv, fi = _sharded_exact_rows(
-                mesh,
-                jnp.asarray(user_emb)[sel],
-                item_emb,
-                np.asarray(rated_pad)[rows_pad[s: s + chunk]],
-                excluded,
-                k,
-            )
-            fvs.append(np.asarray(fv))
-            fis.append(np.asarray(fi))
-        vals[rows] = np.concatenate(fvs)[: rows.size]
-        ids[rows] = np.concatenate(fis)[: rows.size]
+
+    def exact_chunk(rows_pad):
+        return _sharded_exact_rows(
+            mesh,
+            jnp.asarray(user_emb)[jnp.asarray(rows_pad)],
+            item_emb,
+            np.asarray(rated_pad)[rows_pad],
+            excluded,
+            k,
+        )
+
+    apply_exact_fallback(vals, ids, np.asarray(sus_d[:n_users]), exact_chunk)
     return vals, ids
 
 

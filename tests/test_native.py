@@ -67,53 +67,46 @@ def test_permutation():
     assert not np.array_equal(out, out3)
 
 
-def test_ppr_push_matches_power_iteration():
-    """Native forward-push PPR top-k must agree with FSGNN's dense power
-    iteration (the reference formulation) on a small bipartite graph."""
+def test_ppr_push_matches_power_iteration(monkeypatch):
+    """The full production dispatch (ppr_topk_extra_edges) must produce
+    near-identical extra edges through the dense power-iteration branch
+    and the native forward-push branch (threshold forced down so the
+    push branch runs on this small graph), in both weighted modes."""
     import scipy.sparse as sp
 
-    from coldrec_tpu.models.fsgnn import ppr_topk_extra_edges
+    import coldrec_tpu.models.fsgnn as F
 
-    rng = np.random.default_rng(4)
     nu, ni = 60, 50
     dens = sp.random(
         nu, ni, density=0.08, random_state=7, dtype=np.float32
     )
     r_train = (dens > 0).astype(np.float32).tocsr()
-    dense = ppr_topk_extra_edges(
-        r_train, delta=0.15, n_iter=60, topk=5, weighted=True
-    )
 
-    # force the push path by shrinking the size threshold via a tiny eps
-    from coldrec_tpu import native as N
-    from coldrec_tpu.native import ppr_push_topk_native
-
-    n = nu + ni
-    rows, cols = r_train.nonzero()
-    a = sp.coo_matrix(
-        (np.ones(2 * len(rows), np.float32),
-         (np.concatenate([rows, cols + nu]),
-          np.concatenate([cols + nu, rows]))),
-        shape=(n, n),
-    ).tocsr()
-    a = a + sp.eye(n, format="csr", dtype=np.float32)
-    rc = r_train.tocsr()
-    rc.sort_indices()
-    res = ppr_push_topk_native(
-        a.indptr, a.indices, nu, rc.indptr, rc.indices,
-        alpha=0.15, eps=1e-9, topk=5,
-    )
-    assert res is not None, "native lib must build in-image"
-    items, vals = res
-    d = dense.toarray()
-    agree = total = 0
-    for u in range(nu):
-        want = set(np.where(d[u] > 0)[0].tolist())
-        got = set(int(i) for i in items[u] if i >= 0)
-        if not want:
-            continue
-        total += len(want)
-        agree += len(want & got)
-    assert total > 0
-    # tiny eps -> push is near-exact; allow a few boundary ties
-    assert agree / total > 0.9, (agree, total)
+    for weighted in (True, False):
+        dense = F.ppr_topk_extra_edges(
+            r_train, delta=0.15, n_iter=60, topk=5, weighted=weighted
+        )
+        monkeypatch.setattr(F, "_DENSE_PPR_ELEMS", 0)  # force push branch
+        push = F.ppr_topk_extra_edges(
+            r_train, delta=0.15, n_iter=60, topk=5, weighted=weighted,
+            push_eps=1e-9,
+        )
+        monkeypatch.setattr(F, "_DENSE_PPR_ELEMS", 1 << 28)
+        d, p = dense.toarray(), push.toarray()
+        agree = total = 0
+        for u in range(nu):
+            want = set(np.where(d[u] > 0)[0].tolist())
+            got = set(np.where(p[u] > 0)[0].tolist())
+            if not want:
+                continue
+            total += len(want)
+            agree += len(want & got)
+        assert total > 0
+        # tiny eps -> push is near-exact; allow boundary ties and the
+        # documented unweighted zero-padding divergence
+        threshold = 0.9 if weighted else 0.75
+        assert agree / total > threshold, (weighted, agree, total)
+        if weighted:
+            # weights are per-row max-normalized PPR scores on both paths
+            common = (d > 0) & (p > 0)
+            np.testing.assert_allclose(d[common], p[common], atol=5e-3)
