@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..runtime.checkpoints import load_embeddings
 from .warm_base import WarmBackboneTrainer

@@ -8,7 +8,6 @@ overwritten by generator(content) (DeepMusic.py:42-47).
 """
 from __future__ import annotations
 
-import jax
 
 from ..ops.losses import l2_reg_loss, mse_loss
 from .cold_base import ColdStartModelBase

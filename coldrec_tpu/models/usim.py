@@ -27,7 +27,6 @@ optimized (no optimizer covers it, USIM.py:295-300) — frozen at init.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
