@@ -72,13 +72,13 @@ def bench_pallas_sweep(user_emb, item_emb, rated, excluded):
     import jax.numpy as jnp
 
     from coldrec_tpu.ops.pallas.retrieval import (
-        _round_up, _sweep_padded, retrieval_topk,
+        _round_up, _sweep_padded, default_block_i, retrieval_topk,
     )
 
     ue, ie = jnp.asarray(user_emb), jnp.asarray(item_emb)
     rat, exc = jnp.asarray(rated), jnp.asarray(excluded)
     n_users, n_items = user_emb.shape[0], item_emb.shape[0]
-    block_i = min(8192, _round_up(n_items, 2048))  # production default
+    block_i = default_block_i(n_items)  # always the production config
     i_pad, b_pad = _round_up(n_items, block_i), _round_up(n_users, 256)
     n_iter = 16
 

@@ -32,14 +32,22 @@ def _load() -> Optional[ctypes.CDLL]:
     # stale .so from an older revision (cheap no-op when up to date). A
     # stale handle cannot be swapped in-process — glibc dlopen caches by
     # pathname — so rebuilding before the first CDLL is the only safe
-    # point.
+    # point. flock serializes concurrent process startups so no process
+    # dlopens a half-written .so (make truncates in place).
     try:
-        subprocess.run(
-            ["make", "-s", "-C", _NATIVE_DIR],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
+        import fcntl
+
+        with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                subprocess.run(
+                    ["make", "-s", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
     except Exception:
         pass  # fall through: an existing current .so may still load
     if not os.path.exists(_SO_PATH):

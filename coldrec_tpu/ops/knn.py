@@ -59,7 +59,15 @@ def knn_inner_product(
         and values.shape[0] >= 512
         and k + 1 <= SLOTS * LANES
     ):
-        return _knn_via_retrieval(q_all, v, k)
+        # honour the chunk contract on the kernel path too: one unchunked
+        # sweep over ~92k queries (AGNN/FSGNN graph construction at
+        # book-crossing scale) holds ~755 MB of candidate planes at once
+        out_s, out_i = [], []
+        for start in range(0, q_all.shape[0], chunk):
+            s, i = _knn_via_retrieval(q_all[start: start + chunk], v, k)
+            out_s.append(s)
+            out_i.append(i)
+        return np.concatenate(out_s), np.concatenate(out_i)
     v = jnp.asarray(v)
     out_s, out_i = [], []
     for start in range(0, q_all.shape[0], chunk):

@@ -226,6 +226,16 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def default_block_i(n_items: int) -> int:
+    """Production item-block width. Wider blocks amortize the per-block
+    slot cascade (the kernel is VPU-bound, not DMA- or MXU-bound: bf16
+    tiles and bigger user tiles both measured NEUTRAL-to-worse); 8192 is
+    the measured optimum at book-crossing width, 16384 regresses on VMEM
+    pressure (tools/ubench_kernel_variants.py, PERF.md). bench.py reuses
+    this so the headline always measures the production config."""
+    return min(8192, _round_up(n_items, 2048))
+
+
 def apply_exact_fallback(vals, ids, sus, exact_chunk_fn, chunk=4096):
     """Recompute ghost/tie-flagged rows via `exact_chunk_fn(rows_pad)` in
     fixed-size chunks, scattering results back into (vals, ids) in place.
@@ -322,12 +332,7 @@ def retrieval_topk(
     n_items = item_emb.shape[0]
     assert k + rated_pad.shape[1] <= SLOTS * LANES, (k, SLOTS * LANES)
     if not block_i:
-        # wider item blocks amortize the per-block slot cascade (the
-        # kernel is VPU-bound, not DMA- or MXU-bound: bf16 tiles and
-        # bigger user tiles both measured NEUTRAL-to-worse); 8192 is the
-        # measured optimum at book-crossing width, 16384 regresses on
-        # VMEM pressure (tools/ubench_kernel_variants.py, PERF.md)
-        block_i = min(8192, _round_up(n_items, 2048))
+        block_i = default_block_i(n_items)
     assert block_i % LANES == 0, block_i
     i_pad = _round_up(n_items, block_i)
     b_pad = _round_up(n_users, tile_u)

@@ -322,7 +322,10 @@ def _sharded_exact_rows(mesh, users_rows, item_emb, rated_rows, excluded, k):
         ai[:, :, None] == jnp.asarray(rated_rows, jnp.int32)[:, None, :],
         axis=-1,
     )
-    av = jnp.where(is_rated, -10e8 * 2.0, av)
+    # reference MASK_VALUE: rated and candidate-excluded fillers must tie
+    # at the same -10e8 level so filler ordering matches the single-chip
+    # masked_topk fallback (and torch) when survivors < k
+    av = jnp.where(is_rated, -10e8, av)
     vals, pos = jax.lax.top_k(av, k)
     ids = jnp.take_along_axis(ai, pos, axis=1)
     return vals, ids

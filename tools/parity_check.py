@@ -209,12 +209,15 @@ _T975 = {
 
 
 def _tmul(runs: int) -> float:
-    """t_{0.975, runs-1}; 2.09 (df=19 value) past the table — NEVER the
+    """t_{0.975, runs-1}; past the table, the nearest CONSERVATIVE (wider)
+    value: 2.23 (df=10) for runs 11-20, 2.09 (df=20) beyond — NEVER the
     runs=2 value as a fallback (a gap at runs=7 once made the tolerance
-    5x too loose)."""
+    5x too loose), and never a value tighter than the honest df."""
     if runs in _T975:
         return _T975[runs]
-    return 2.09 if runs > 10 else _T975[2]
+    if runs <= 20:
+        return 2.23
+    return 2.09
 
 
 def _cold_noise_band(scale: str, cold_object: str, runs: int):

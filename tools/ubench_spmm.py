@@ -45,14 +45,29 @@ def make_ell(n, k, seed):
     return cols, vals
 
 
-def time_fn(fn, *args, repeats=20):
-    out = fn(*args)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / repeats
+def time_chained(apply_fn, x, cols, vals, n_iter=20):
+    """Dependency-chained timing: each iteration consumes the previous
+    output, so the remote backend cannot memoize repeated identical
+    dispatches (the round-1 artifact documented in PERF.md 'Honest
+    retrieval timings')."""
+    import jax
+
+    @jax.jit
+    def chained(x):
+        def body(x, _):
+            y = apply_fn(x, cols, vals)
+            return x + 1e-38 * y, None
+
+        x, _ = jax.lax.scan(body, x, None, length=n_iter)
+        return x
+
+    jax.block_until_ready(chained(x))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chained(x))
+        best = min(best, time.perf_counter() - t0)
+    return best / n_iter
 
 
 def main():
@@ -71,11 +86,10 @@ def main():
         )
         cols, vals = jnp.asarray(cols_h), jnp.asarray(vals_h)
 
-        @jax.jit
         def xla_ell(x, cols, vals):
             return jnp.einsum("nk,nkd->nd", vals, x[cols])
 
-        t_xla = time_fn(xla_ell, x, cols, vals)
+        t_xla = time_chained(xla_ell, x, cols, vals)
         results[name] = {"xla_ms": round(t_xla * 1e3, 3)}
         print(name, json.dumps(results[name]))
     print("RESULT", json.dumps(results))
