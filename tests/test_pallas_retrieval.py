@@ -142,6 +142,35 @@ def test_all_tie_scores_route_through_fallback(rng):
     np.testing.assert_array_equal(ids, np.asarray(ref_ids))
 
 
+def test_apply_exact_fallback_chunk_boundaries(rng):
+    """The shared chunked-fallback helper must scatter exact results back
+    correctly across chunk boundaries (incl. a padded tail chunk)."""
+    from coldrec_tpu.ops.pallas.retrieval import apply_exact_fallback
+
+    n, k, chunk = 30, 4, 8
+    vals = np.zeros((n, k), np.float32)
+    ids = np.zeros((n, k), np.int32)
+    sus = np.zeros(n, bool)
+    flagged = rng.choice(n, 20, replace=False)
+    sus[flagged] = True
+    calls = []
+
+    def exact_chunk(rows_pad):
+        calls.append(rows_pad.copy())
+        # deterministic per-row payload keyed on the row id
+        fv = np.repeat(rows_pad[:, None], k, 1).astype(np.float32) + 0.5
+        fi = np.repeat(rows_pad[:, None], k, 1).astype(np.int32) * 10
+        return fv, fi
+
+    apply_exact_fallback(vals, ids, sus, exact_chunk, chunk=chunk)
+    assert len(calls) == 3  # 20 flagged -> pad to 24 -> 3 chunks of 8
+    for r in np.flatnonzero(sus):
+        np.testing.assert_array_equal(vals[r], np.full(k, r + 0.5))
+        np.testing.assert_array_equal(ids[r], np.full(k, r * 10))
+    for r in np.flatnonzero(~sus):
+        np.testing.assert_array_equal(vals[r], np.zeros(k))
+
+
 def test_lane_collision_triggers_exact_fallback(rng):
     """>SLOTS of the true top-k in one mod-128 lane class: the ghost bound
     must flag the user and the fallback must return the exact top-k."""
