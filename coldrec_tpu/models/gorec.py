@@ -30,9 +30,15 @@ from .common import (
 
 
 def _uniformity(mu, weight):
-    """log mean_{i<j} exp(-2||mu_i - mu_j||^2) over valid pairs."""
+    """log mean_{i<j} exp(-2||mu_i - mu_j||^2) over valid pairs.
+
+    For unit rows ||xi - xj||^2 = 2 - 2 xi.xj, so the pairwise distances
+    come from ONE (B, B) Gram matmul on the MXU — the broadcasted
+    difference form materializes a (B, B, d) tensor (4.3 GB/step at
+    bs=4096), which made GoRec 14x slower than the reference's
+    torch.pdist on the parity host."""
     x = mu / jnp.maximum(jnp.linalg.norm(mu, axis=1, keepdims=True), 1e-12)
-    sq = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+    sq = jnp.maximum(2.0 - 2.0 * (x @ x.T), 0.0)
     pair_w = weight[:, None] * weight[None, :]
     iu = jnp.triu(jnp.ones_like(pair_w), k=1)
     pair_w = pair_w * iu
