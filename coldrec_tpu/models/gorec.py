@@ -61,22 +61,42 @@ class GoRec(ColdStartModelBase):
         self.kl_coeff = float(self.args.kl_coeff)
         self.drop_rate = float(self.args.dropout)
         keys = jax.random.split(self.next_key(), 8)
+
+        def torch_default_w(key, n_in, n_out):
+            # nn.Linear(bias=False) default weight init (the fc blocks,
+            # GoRec.py:219/252, are NOT re-initialized by the reference)
+            b = float(1.0 / np.sqrt(n_in))
+            return jax.random.uniform(key, (n_in, n_out), minval=-b, maxval=b)
+
+        def head(key, n_in, n_out):
+            # reference explicitly xavier_uniform_'s the four heads'
+            # WEIGHTS (GoRec.py:228-231); biases keep the torch default
+            kw, kb = jax.random.split(key)
+            bb = float(1.0 / np.sqrt(n_in))
+            return {
+                "w": xavier_uniform(kw, (n_in, n_out)),
+                "b": jax.random.uniform(kb, (n_out,), minval=-bb, maxval=bb),
+            }
+
         self.params = {
-            "enc_fc": {"w": xavier_uniform(keys[0], (d + c, d))},
+            "enc_fc": {"w": torch_default_w(keys[0], d + c, d)},
             "enc_bn": batchnorm_params(d),
-            "l_mu": linear_params(keys[1], d, d),
-            "l_var": linear_params(keys[2], d, d),
-            "l_mu_zgc": linear_params(keys[3], c, d),
-            "l_var_zgc": linear_params(keys[4], c, d),
-            "dec_fc": {"w": xavier_uniform(keys[5], (d + c, d))},
+            "l_mu": head(keys[1], d, d),
+            "l_var": head(keys[2], d, d),
+            "l_mu_zgc": head(keys[3], c, d),
+            "l_var_zgc": head(keys[4], c, d),
+            "dec_fc": {"w": torch_default_w(keys[5], d + c, d)},
             "dec_bn": batchnorm_params(d),
             "gen": [
                 linear_params(keys[6], d, d),
                 linear_params(keys[7], d, d),
             ],
         }
-        # torch defaults for l_mu etc are kaiming; reference explicitly
-        # xavier_uniform_'s the four heads (GoRec.py:228-231) — done above.
+        # Round-2 fix: these inits were previously INVERTED (xavier on the
+        # fc blocks, torch-default on the heads), which slowed early
+        # convergence enough to fail warm-cell parity at ml scale with
+        # runs=7 (equal-epoch comparison; at 30 epochs the old init
+        # OVERSHOT the reference's 10-epoch warm recall).
         self.net_state = {"enc_bn": batchnorm_state(d), "dec_bn": batchnorm_state(d)}
         # k-means clustering of the warm table (labels saved to the bus)
         table = (
