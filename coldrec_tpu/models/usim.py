@@ -137,9 +137,66 @@ class USIM(ColdStartModelBase):
         )
         return (r1 - self.reward_cost) * (1.0 - dones.astype(jnp.float32))
 
+    def _z_lse(self, actor, states):
+        """Actor logits row + its logsumexp and the [continue, stop] head.
+
+        sp (the reference's masked-sampling distribution numerator,
+        USIM.py:75-88) factorizes as sp[u] = end0 * exp(z_u - lse(z)) for
+        user columns and sp[stop] = end1 — so any computation that touches
+        sp at only a few columns needs just this full-row reduction, never
+        the (B, n_user) softmax plane."""
+        emb = linear(actor["map"], states)
+        end = jax.nn.softmax(linear(actor["end_map"], states), axis=-1)
+        z = emb @ self.user_ext[:-1].T  # (B, n_user-1)
+        lse = jax.nn.logsumexp(z, axis=1)
+        return z, lse, end
+
+    def _sp_at(self, cands, z, lse, end):
+        """sp gathered at the candidate columns (stop column = end1)."""
+        is_stop = cands == self.n_user - 1
+        safe = jnp.where(is_stop, 0, cands)
+        z_c = jnp.take_along_axis(z, safe, axis=1)
+        return jnp.where(
+            is_stop, end[:, 1:2], end[:, :1] * jnp.exp(z_c - lse[:, None])
+        )
+
+    def _support_columns(self, pos_idx, user_idx, neg_idx, masked_am):
+        """Candidate-set form of the reference mask (USIM.py:668-759).
+
+        The mask plane's support is always a subset of pos_idx ∪ neg_idx
+        (pos∧user ⊆ pos; the empty fallback re-selects pos), so instead of
+        (B, n_user) bool planes we return the concatenated candidate
+        columns plus a keep flag with plane (set) semantics: a column
+        survives iff its id is mask-selected, is not the excluded argmax,
+        and no EARLIER kept column holds the same id (so each id counts
+        once in any sum over the support — OR-dedup)."""
+        in_user = jnp.any(
+            pos_idx[:, :, None] == user_idx[:, None, :], axis=-1
+        )
+        empty = ~jnp.any(in_user, axis=-1, keepdims=True)
+        w = jnp.concatenate(
+            [in_user | empty, jnp.ones(neg_idx.shape, bool)], axis=1
+        )
+        cands = jnp.concatenate([pos_idx, neg_idx], axis=1)
+        c = cands.shape[1]
+        eq = cands[:, :, None] == cands[:, None, :]  # [b, j, i]
+        lower = jnp.tril(jnp.ones((c, c), bool), -1)
+        dup = jnp.any(eq & lower[None] & w[:, None, :], axis=-1)
+        keep = w & ~dup & (cands != masked_am[:, None])
+        return cands, keep
+
     def _sample_mask(self, state, item_emb, key, target_actor, state_time):
         """Masked exploration distribution (USIM.py:668-759). Returns
-        (action, pos_idx, user_idx, neg_idx, masked_argmax)."""
+        (action, pos_idx, user_idx, neg_idx, masked_argmax).
+
+        Sampling runs over the ≤2k+1 support columns (categorical is
+        renormalization-invariant, so the distribution is identical to
+        the reference's full-width masked softmax); the argmax for the
+        20%-exclusion quirk comes from the z row directly (user columns
+        are monotone in z; ties keep the earlier index, as argmax does).
+        This removes every (B, n_user) mask/softmax plane from the
+        rollout — at book-crossing scale those planes made the sampler
+        ~4x the cost of the scoring matmuls themselves."""
         k1, k2, k3 = jax.random.split(key, 3)
         b = state.shape[0]
         dvec = item_emb - state
@@ -158,34 +215,31 @@ class USIM(ColdStartModelBase):
         stop_col = jnp.full((b, 1), self.n_user - 1, neg.dtype)
         neg_idx = jnp.concatenate([neg, stop_col], axis=1)
 
-        rows = jnp.arange(b, dtype=jnp.int32)[:, None]
-
-        def onehot_any(idx):
-            # scatter-based membership: avoids the (B, k, n_user) one-hot
-            # intermediate (~1 GB at ML scale with bs=4096)
-            return jnp.zeros((b, self.n_user), bool).at[rows, idx].set(True)
-
-        oh_pos = onehot_any(pos_idx)
-        oh_user = onehot_any(topk_user)
-        oh_neg = onehot_any(neg_idx)
-        mask = oh_pos & oh_user
-        empty = jnp.sum(mask, axis=-1) == 0
-        mask = jnp.where(empty[:, None], oh_pos, mask)
-        mask = mask | oh_neg
-
         index_state = jnp.concatenate([state, state_time[:, None]], axis=1)
-        sp = _probs(target_actor, self.user_ext[:-1], index_state)
-        am = jnp.argmax(sp, axis=-1)
+        z, lse, end = self._z_lse(target_actor, index_state)
+        # argmax of sp: user columns first (ties -> earlier), stop last
+        zmax = jnp.max(z, axis=1)
+        best_user = end[:, 0] * jnp.exp(zmax - lse)
+        am = jnp.where(
+            best_user >= end[:, 1], jnp.argmax(z, axis=1), self.n_user - 1
+        )
         rand = jax.random.uniform(k2, (b,)) > 0.8
         masked_am = jnp.where(rand, am, 0)  # reference quirk: collapses to 0
-        mask = mask & ~onehot_any(masked_am[:, None])
-        mp = sp * mask
-        mp = mp / jnp.maximum(jnp.sum(mp, axis=-1, keepdims=True), 1e-12)
-        action = jax.random.categorical(k3, jnp.log(jnp.maximum(mp, 1e-20)))
+        cands, keep = self._support_columns(
+            pos_idx, topk_user, neg_idx, masked_am
+        )
+        sp_c = self._sp_at(cands, z, lse, end)
+        logits = jnp.log(jnp.maximum(sp_c * keep, 1e-20))
+        col = jax.random.categorical(k3, logits)
+        action = jnp.take_along_axis(cands, col[:, None], axis=1)[:, 0]
         return action, pos_idx, topk_user, neg_idx, masked_am
 
     @staticmethod
     def _rebuild_mask(n_user, pos_idx, user_idx, neg_idx, masked_am):
+        """(T, n_user) bool mask plane — the direct transcription of the
+        reference's mask algebra. NOT on the production path (the support
+        -set form below avoids the plane, which is 8-32 GB at
+        book-crossing T); kept as the oracle for the equivalence test."""
         t = pos_idx.shape[0]
         rows = jnp.arange(t, dtype=jnp.int32)[:, None]
 
@@ -199,16 +253,31 @@ class USIM(ColdStartModelBase):
         mask = mask | onehot_any(neg_idx)
         return mask & ~onehot_any(masked_am[:, None])
 
-    def _log_probs_masked(self, actor, states, actions, masks):
-        sp = _probs(actor, self.user_ext[:-1], states)
-        mp = sp * masks
-        mp = mp / jnp.maximum(jnp.sum(mp, axis=-1, keepdims=True), 1e-12)
-        lp = jnp.log(
-            jnp.maximum(
-                jnp.take_along_axis(mp, actions[:, None], axis=1)[:, 0], 1e-20
-            )
+    def _log_probs_masked(self, actor, states, actions, idxs):
+        """log of the renormalized masked policy at the taken action.
+
+        lp = log(sp[a] / Σ_support sp) — the Σ runs over the ≤2k+1 kept
+        candidate columns (set semantics via _support_columns) instead of
+        a (T, n_user) mask plane; sp[a] comes from the z row + lse. Equal
+        to the plane formulation up to summation order (tested in
+        test_misc_coverage.py::test_usim_support_matches_plane)."""
+        pos_idx, user_idx, neg_idx, masked_am = idxs
+        z, lse, end = self._z_lse(actor, states)
+        cands, keep = self._support_columns(
+            pos_idx, user_idx, neg_idx, masked_am
         )
-        return lp
+        sp_c = self._sp_at(cands, z, lse, end)
+        sigma = jnp.sum(sp_c * keep, axis=1)
+        a_stop = actions == self.n_user - 1
+        za = jnp.take_along_axis(
+            z, jnp.where(a_stop, 0, actions)[:, None], axis=1
+        )[:, 0]
+        sp_a = jnp.where(a_stop, end[:, 1], end[:, 0] * jnp.exp(za - lse))
+        kept_a = jnp.any((cands == actions[:, None]) & keep, axis=1)
+        sp_a = sp_a * kept_a  # mask[a]=0 -> lp = log(1e-20), as the plane
+        return jnp.log(
+            jnp.maximum(sp_a / jnp.maximum(sigma, 1e-12), 1e-20)
+        )
 
     def _batch_step(
         self, actor, a_state, critic, c_state, target_actor, target_critic,
@@ -298,9 +367,8 @@ class USIM(ColdStartModelBase):
         b_idx, b_w, w_sum, chunk,
     ):
         """PPO(5) over the full transition set (small/medium item spaces)."""
-        b_mask = self._rebuild_mask(self.n_user, *b_idx)
         target_lp = self._log_probs_masked(
-            target_actor, b_state, b_action, b_mask
+            target_actor, b_state, b_action, b_idx
         )
         target_q = b_reward + self.discount * critic_of(
             target_critic, b_next
@@ -314,7 +382,7 @@ class USIM(ColdStartModelBase):
             actor, a_state, critic, c_state = carry
 
             def actor_loss_fn(a):
-                lp = self._log_probs_masked(a, b_state, b_action, b_mask)
+                lp = self._log_probs_masked(a, b_state, b_action, b_idx)
                 ratio = jnp.exp(lp - target_lp)
                 surr1 = ratio * advantage
                 surr2 = jnp.clip(ratio, 0.8, 1.2) * advantage
@@ -360,8 +428,7 @@ class USIM(ColdStartModelBase):
 
         def tgt_body(_, x):
             s, a, r, nx, dn, idxs, _w = x
-            m = self._rebuild_mask(self.n_user, *idxs)
-            lp = self._log_probs_masked(target_actor, s, a, m)
+            lp = self._log_probs_masked(target_actor, s, a, idxs)
             q = r + self.discount * critic_of(target_critic, nx) * (1 - dn)
             adv = q - critic_of(target_critic, s)
             return None, (lp, q, adv)
@@ -377,8 +444,7 @@ class USIM(ColdStartModelBase):
 
             def chunk_losses(a, c, x):
                 s, act, _r, _nx, _dn, idxs, w, tlp, tq, adv = x
-                m = self._rebuild_mask(self.n_user, *idxs)
-                lp = self._log_probs_masked(a, s, act, m)
+                lp = self._log_probs_masked(a, s, act, idxs)
                 ratio = jnp.exp(lp - tlp)
                 surr1 = ratio * adv
                 surr2 = jnp.clip(ratio, 0.8, 1.2) * adv

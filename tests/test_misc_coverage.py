@@ -78,6 +78,72 @@ def test_usim_chunked_inference_matches_single_call(data, tmp_path,
     np.testing.assert_array_equal(np.asarray(ue_one), np.asarray(ue_chunk))
 
 
+def test_usim_support_matches_plane(data, tmp_path):
+    """The support-set masked log-prob / sampling distribution must equal
+    the reference's (B, n_user) mask-plane formulation (USIM.py:668-759)
+    up to summation order. The plane oracle is transcribed here from
+    _rebuild_mask + the pre-support _log_probs_masked."""
+    import jax
+    import jax.numpy as jnp
+
+    from coldrec_tpu.models.usim import _probs
+
+    args = default_args(
+        model="USIM", dataset="synth", epochs=0, bs=16, emb_size=8,
+        early_stop=3, emb_dir=str(tmp_path), seed=3, save_emb=False,
+        usim_max_time=2, usim_k=3,
+    )
+    usim = model_factory(Config(args, data))
+    rng = np.random.default_rng(0)
+    t, d, k, nu = 24, usim.emb_size, usim.k, usim.n_user
+    states = jnp.asarray(rng.standard_normal((t, d + 1)).astype(np.float32))
+    pos = jnp.asarray(
+        np.stack([rng.choice(nu, k, replace=False) for _ in range(t)])
+        .astype(np.int32))
+    usr = jnp.asarray(
+        np.stack([rng.choice(nu - 1, k, replace=False) for _ in range(t)])
+        .astype(np.int32))
+    # force overlap (non-empty pos∧user) on half the rows
+    usr = usr.at[: t // 2, 0].set(pos[: t // 2, 0])
+    neg = jnp.asarray(np.concatenate(
+        [rng.integers(0, nu - 1, (t, k)), np.full((t, 1), nu - 1)], axis=1
+    ).astype(np.int32))
+    # duplicates across sets: neg col 0 repeats pos col 1
+    neg = neg.at[:, 0].set(pos[:, 1])
+    mam = jnp.asarray(rng.integers(0, nu, t).astype(np.int32))
+    mam = mam.at[0].set(int(pos[0, 0]))  # exclusion hits a candidate
+    idxs = (pos, usr, neg, mam)
+    actions = pos[:, 0]  # in-support actions (plane lp finite)
+
+    lp_support = np.asarray(
+        usim._log_probs_masked(usim.actor, states, actions, idxs))
+    mask = usim._rebuild_mask(nu, *idxs)
+    sp = _probs(usim.actor, usim.user_ext[:-1], states)
+    mp = sp * mask
+    mp = mp / jnp.maximum(jnp.sum(mp, axis=-1, keepdims=True), 1e-12)
+    lp_plane = np.asarray(jnp.log(jnp.maximum(
+        jnp.take_along_axis(mp, actions[:, None], axis=1)[:, 0], 1e-20)))
+    np.testing.assert_allclose(lp_support, lp_plane, rtol=1e-5, atol=1e-6)
+
+    # sampling numerators: scattered support probs == plane sp*mask
+    cands, keep = usim._support_columns(*idxs)
+    z, lse, end = usim._z_lse(usim.actor, states)
+    sp_c = usim._sp_at(cands, z, lse, end) * keep
+    scattered = np.zeros((t, nu), np.float64)
+    cn, sn = np.asarray(cands), np.asarray(sp_c)
+    for r in range(t):
+        for j in range(cn.shape[1]):
+            scattered[r, cn[r, j]] += sn[r, j]
+    np.testing.assert_allclose(
+        scattered, np.asarray(sp * mask), rtol=1e-5, atol=1e-7)
+
+    # an out-of-support action must floor to log(1e-20), as the plane does
+    out = jnp.full((t,), int(np.asarray(mam)[0]), jnp.int32)
+    lp_out = np.asarray(
+        usim._log_probs_masked(usim.actor, states, out, idxs))
+    assert lp_out[0] == pytest.approx(np.log(1e-20))
+
+
 def test_usim_chunked_ppo_matches_dense(data, tmp_path, monkeypatch):
     """The chunked PPO optimize (bounds the (T, n_user) planes at book-
     crossing scale) must match the dense path up to sum reassociation."""
