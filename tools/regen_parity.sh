@@ -1,13 +1,12 @@
 #!/usr/bin/env bash
-# Regenerate every parity artifact with the round-2 harness (SE-based
-# tolerance, all 4 metrics, runs=5). Tiering (VERDICT round 1, task 1):
-#   - ml scale for the models whose round-1 artifacts carried the
-#     cold-metric noise cloud (MF / LightGCN / NGCF) plus the BASELINE
-#     suite configs;
-#   - medium scale for the remaining models (reference CPU cost at ml
-#     would exceed the round budget; medium's 5-run SE already gives
-#     per-cell tolerances well under 0.03);
-#   - small scale only for USIM (reference PPO is CPU-bound python).
+# Regenerate parity artifacts with the v3 harness (t-corrected SE
+# tolerance, all 4 metrics, runs>=5). Tiering by reference CPU cost:
+#   - ml scale wherever the reference side stays affordable (medium
+#     reference epochs under ~2 s extrapolate to <15 s at ml);
+#   - medium for CLCRec (29.5 s/ep ref at medium), CGRC (83 s/ep) and
+#     M2VAE (PoE/MoE fusion, heavy ref) — ml would take hours/side;
+#   - USIM at medium (reference PPO is a CPU python loop; small->medium
+#     is the affordable upgrade).
 # CPU-forced on both sides so the real TPU stays free; continues past
 # individual failures and logs per-model timing to tools/regen_parity.log.
 set -uo pipefail
@@ -16,18 +15,25 @@ export JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS=
 LOG=tools/regen_parity.log
 touch "$LOG"
 
-# Idempotent: a model is skipped when its artifact already matches the
-# requested (scale, runs=5, cold_object) — lets an interrupted sweep resume.
+# Idempotent AND monotone: a model is skipped when its artifact is at the
+# requested scale OR BIGGER with runs >= 5 — an ml/runs=7 artifact is
+# never downgraded by a medium request (the round-2 GoRec near-miss).
 done_already() { # done_already <model> <scale> <user|item>
   python - "$1" "$2" "$3" <<'PY'
 import json, sys
 model, scale, obj = sys.argv[1:4]
 path = f"tools/PARITY_{model}{'' if obj == 'item' else '_user'}.json"
+rank = {"small": 0, "medium": 1, "ml": 2}
 try:
     d = json.load(open(path))
 except Exception:
     sys.exit(1)
-sys.exit(0 if d.get("scale") == scale and d.get("runs") == 5 else 1)
+ok = (
+    d.get("runs", 0) >= 5
+    and rank.get(d.get("scale"), -1) >= rank[scale]
+    and d.get("harness_version") == 3
+)
+sys.exit(0 if ok else 1)
 PY
 }
 
@@ -54,42 +60,42 @@ run() { # run --model <m> [--cold_object user] --scale <s> [...]
   fi
 }
 
-# --- tier 1: ml scale — clears the round-1 LightGCN/NGCF cold-noise cloud
+# --- tier 0: stale pre-v3 artifacts (regenerate first — these are the
+#     correctness-of-record gaps)
+run --model M2VAE --scale medium --epochs 8
+run --model USIM  --scale medium --epochs 8
+for m in DeepMusic DUIF VBPR AMR DropoutNet MTPR LARA Heater \
+         MetaEmbedding GAR GoRec AGNN FSGNN; do
+  run --model "$m" --cold_object user --scale medium --epochs 12 --shared_backbone
+done
+
+# --- tier 1: ml scale, cheapest reference first (banks upgrades early)
 run --model MF        --scale ml --epochs 20
 run --model LightGCN  --scale ml --epochs 6
 run --model NGCF      --scale ml --epochs 6
 run --model DropoutNet --scale ml --epochs 10
 run --model ALDI      --scale ml --epochs 10
 run --model GAR       --scale ml --epochs 10
+run --model KNN       --scale ml --epochs 15
+run --model DeepMusic --scale ml --epochs 15
+run --model DUIF      --scale ml --epochs 15
+run --model VBPR      --scale ml --epochs 15
+run --model MetaEmbedding --scale ml --epochs 15
+run --model AMR       --scale ml --epochs 15
+run --model LARA      --scale ml --epochs 15
+run --model Heater    --scale ml --epochs 15
+run --model MTPR      --scale ml --epochs 15
+run --model NCL       --scale ml --epochs 15
+run --model FSGNN     --scale ml --epochs 10
+run --model AGNN      --scale ml --epochs 10
+run --model XSimGCL   --scale ml --epochs 15
+run --model SimGCL    --scale ml --epochs 15
+run --model GoRec     --scale ml --epochs 15
 
-# --- tier 2: medium scale, item cold-start
-run --model SimGCL    --scale medium --epochs 15
-run --model XSimGCL   --scale medium --epochs 15
-run --model NCL       --scale medium --epochs 15
-run --model KNN       --scale medium --epochs 15
-run --model DeepMusic --scale medium --epochs 15
-run --model DUIF      --scale medium --epochs 15
-run --model VBPR      --scale medium --epochs 15
-run --model AMR       --scale medium --epochs 15
-run --model MTPR      --scale medium --epochs 15
-run --model LARA      --scale medium --epochs 15
-run --model Heater    --scale medium --epochs 15
-run --model MetaEmbedding --scale medium --epochs 15
+# --- tier 2: reference-CPU-bound at ml; medium is the honest ceiling
 run --model CLCRec    --scale medium --epochs 15
-run --model GoRec     --scale medium --epochs 15
-run --model CCFCRec   --scale medium --epochs 10
-run --model AGNN      --scale medium --epochs 10
 run --model CGRC      --scale medium --epochs 6
-run --model FSGNN     --scale medium --epochs 10
-run --model M2VAE     --scale medium --epochs 8
-run --model USIM      --scale small  --epochs 8
-
-# --- tier 3: user cold-start (shared backbone kills backbone-draw
-#     variance, round-1 convention; see --shared_backbone help)
-for m in DeepMusic DUIF VBPR AMR DropoutNet MTPR LARA Heater \
-         MetaEmbedding GAR GoRec AGNN FSGNN; do
-  run --model "$m" --cold_object user --scale medium --epochs 12 --shared_backbone
-done
+run --model CCFCRec   --scale ml --epochs 10
 
 echo "== regen complete ==" | tee -a "$LOG"
 grep -c OK "$LOG" || true
