@@ -74,8 +74,34 @@ def adam(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
 
 
 def adagrad(lr: float) -> optax.GradientTransformation:
-    """torch.optim.Adagrad (VBPR/AMR/MTPR embedding optimizer)."""
-    return optax.adagrad(lr, initial_accumulator_value=0.0)
+    """torch.optim.Adagrad, exact (VBPR/AMR/MTPR embedding optimizer).
+
+    torch computes ``g / (sqrt(sum g^2) + 1e-10)`` — eps OUTSIDE the sqrt —
+    while ``optax.adagrad`` computes ``g * rsqrt(sum g^2 + 1e-7)``: for
+    entries whose accumulated square is below ~1e-7 (fresh embedding rows
+    in the first sparse-gradient steps) optax's step is up to ~30% smaller.
+    Match torch exactly instead (defaults: lr_decay=0, eps=1e-10,
+    initial_accumulator_value=0; reference usage VBPR.py:18, AMR.py:18,
+    MTPR.py:19 passes none of these).
+    """
+    eps = 1e-10
+
+    def init_fn(params):
+        return optax.ScaleByRssState(
+            sum_of_squares=jax.tree.map(jnp.zeros_like, params)
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        acc = jax.tree.map(
+            lambda g, s: s + jnp.square(g), updates, state.sum_of_squares
+        )
+        scaled = jax.tree.map(
+            lambda g, s: -lr * g / (jnp.sqrt(s) + eps), updates, acc
+        )
+        return scaled, optax.ScaleByRssState(sum_of_squares=acc)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_train_step(
