@@ -53,9 +53,13 @@ def t2n(t):
     return t.detach().cpu().numpy()
 
 
+_DIFFS = {}
+
+
 def diff(name, a, b, tol=2e-4):
     a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
     d = float(np.max(np.abs(a - b))) if a.size else 0.0
+    _DIFFS[name] = d
     ok = d <= tol
     print(f"  {'OK ' if ok else 'DIVERGES'}  {name:34s} max|diff|={d:.3e}")
     return ok
@@ -187,6 +191,7 @@ def main():
     jl = rank + 1.0 * gen_rank + 1.0 * align + 1.0 * (recon + kl) + regl
     diff("total loss", np.asarray(jl), t2n(tl), tol=5e-5)
     print(f"  torch loss={float(tl.detach()):.6f}  jax loss={float(jl):.6f}")
+    return dict(_DIFFS)
 
 
 if __name__ == "__main__":
