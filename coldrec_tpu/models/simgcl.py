@@ -24,16 +24,22 @@ from .common import xavier_uniform
 from .warm_base import WarmBackboneTrainer
 
 
-def simgcl_forward(graph, user_emb, item_emb, n_layers, eps, key=None):
-    """Perturbed (key != None) or clean LightGCN-style forward, mean 1..L."""
+def simgcl_forward(graph, user_emb, item_emb, n_layers, eps, key=None,
+                   noise=None):
+    """Perturbed (key or noise given) or clean LightGCN-style forward,
+    mean over layers 1..L. ``noise`` — an (L, U+I, d) stack of pre-drawn
+    U(0,1) tensors — overrides ``key``; the torch-oracle test uses it to
+    feed both frameworks identical noise (SimGCL.py:101-109)."""
     ego = jnp.concatenate([user_emb, item_emb], axis=0)
     acc = jnp.zeros_like(ego)
     for layer in range(n_layers):
         ego = spmm(graph, ego)
-        if key is not None:
+        if noise is not None:
+            ego = ego + jnp.sign(ego) * _normalize(noise[layer]) * eps
+        elif key is not None:
             key, sub = jax.random.split(key)
-            noise = jax.random.uniform(sub, ego.shape, ego.dtype)
-            ego = ego + jnp.sign(ego) * _normalize(noise) * eps
+            nz = jax.random.uniform(sub, ego.shape, ego.dtype)
+            ego = ego + jnp.sign(ego) * _normalize(nz) * eps
         acc = acc + ego
     mean = acc / n_layers
     n_users = user_emb.shape[0]
@@ -57,7 +63,7 @@ class SimGCL(WarmBackboneTrainer):
         }
         self.setup_optimizer()
 
-    def loss_fn(self, params, batch, key):
+    def loss_fn(self, params, batch, key, noise_pair=None):
         user_table, item_table = self.forward_tables(params)
         u = user_table[batch["user"]]
         pos = item_table[batch["pos_item"]]
@@ -65,13 +71,14 @@ class SimGCL(WarmBackboneTrainer):
         w = batch["weight"]
         rec = bpr_loss(u, pos, neg, w)
         k1, k2 = jax.random.split(key)
+        n1, n2 = noise_pair if noise_pair is not None else (None, None)
         uv1, iv1 = simgcl_forward(
             self.graph, params["user_emb"], params["item_emb"],
-            self.n_layers, self.eps, k1,
+            self.n_layers, self.eps, k1, noise=n1,
         )
         uv2, iv2 = simgcl_forward(
             self.graph, params["user_emb"], params["item_emb"],
-            self.n_layers, self.eps, k2,
+            self.n_layers, self.eps, k2, noise=n2,
         )
         bs = batch["user"].shape[0]
         uu, um = unique_padded(batch["user"], w, bs, self.data.user_num)

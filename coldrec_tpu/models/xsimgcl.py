@@ -45,8 +45,11 @@ class XSimGCL(WarmBackboneTrainer):
         }
         self.setup_optimizer()
 
-    def _forward(self, params, key):
-        """Returns (user, item, cl_user, cl_item); key=None -> clean."""
+    def _forward(self, params, key, noise=None):
+        """Returns (user, item, cl_user, cl_item); key=None -> clean.
+        ``noise`` — a pre-drawn (L, U+I, d) U(0,1) stack — overrides key
+        (used by the torch-oracle test to feed both frameworks identical
+        noise, XSimGCL.py:112-114)."""
         ego = jnp.concatenate(
             [params["user_emb"], params["item_emb"]], axis=0
         )
@@ -54,10 +57,12 @@ class XSimGCL(WarmBackboneTrainer):
         cl_snapshot = ego
         for layer in range(self.n_layers):
             ego = spmm(self.graph, ego)
-            if key is not None:
+            if noise is not None:
+                ego = ego + jnp.sign(ego) * _normalize(noise[layer]) * self.eps
+            elif key is not None:
                 key, sub = jax.random.split(key)
-                noise = jax.random.uniform(sub, ego.shape, ego.dtype)
-                ego = ego + jnp.sign(ego) * _normalize(noise) * self.eps
+                nz = jax.random.uniform(sub, ego.shape, ego.dtype)
+                ego = ego + jnp.sign(ego) * _normalize(nz) * self.eps
             acc = acc + ego
             if layer == self.layer_cl - 1:
                 cl_snapshot = ego
@@ -65,8 +70,8 @@ class XSimGCL(WarmBackboneTrainer):
         nu = self.data.user_num
         return mean[:nu], mean[nu:], cl_snapshot[:nu], cl_snapshot[nu:]
 
-    def loss_fn(self, params, batch, key):
-        ut, it, cu, ci = self._forward(params, key)
+    def loss_fn(self, params, batch, key, noise=None):
+        ut, it, cu, ci = self._forward(params, key, noise=noise)
         u = ut[batch["user"]]
         pos = it[batch["pos_item"]]
         neg = it[batch["neg_item"]]
