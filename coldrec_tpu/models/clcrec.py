@@ -57,7 +57,10 @@ class CLCRec(ColdStartModelBase):
         loss = -jnp.log(pos / jnp.sum(scores, axis=1))
         return jnp.sum(loss * weight) / jnp.maximum(jnp.sum(weight), 1.0)
 
-    def loss_fn(self, params, batch, key):
+    def loss_fn(self, params, batch, key, rand_index=None):
+        """``rand_index`` (optional) overrides the hybrid-set replacement
+        draw — the torch-oracle test injects the same indices into both
+        frameworks (CLCRec.py:142-144)."""
         b = batch["user"].shape[0]
         n1 = 1 + self.num_neg
         # (B, 1+n) item groups: col 0 = positive, rest = warm negatives
@@ -82,8 +85,9 @@ class CLCRec(ColdStartModelBase):
         # hybrid set: num_sample fraction of flattened rows replaced by feats
         flat_emb = item_embs.reshape(b * n1, -1)
         flat_feat = feats.reshape(b * n1, -1)
-        n_replace = int(b * n1 * self.num_sample)
-        rand_index = jax.random.randint(key, (n_replace,), 0, b * n1)
+        if rand_index is None:
+            n_replace = int(b * n1 * self.num_sample)
+            rand_index = jax.random.randint(key, (n_replace,), 0, b * n1)
         hybrid = flat_emb.at[rand_index].set(flat_feat[rand_index])
         hybrid = hybrid.reshape(b, n1, -1)
 
