@@ -31,20 +31,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import AXIS_MODEL
 
 
-def shard_map(f, mesh, in_specs, out_specs):
-    """jax.shard_map with replication checking off (all-gather outputs are
-    replicated but not statically inferable)."""
+def shard_map(f, mesh, in_specs, out_specs, check=True):
+    """jax.shard_map with replication checking ON by default.
+
+    Pass ``check=False`` ONLY for ops whose out_specs claim replication of
+    an ``all_gather`` result: jax (0.9.0) cannot statically infer that an
+    all-gathered value is replicated (verified — psum outputs check fine,
+    all_gather outputs raise), so those merges must bypass the checker.
+    Everything else (psum-assembled lookups, row-sharded SpMM) keeps the
+    checker active.
+    """
     try:
         return jax.shard_map(
             f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
+            check_vma=check,
         )
     except TypeError:  # older jax
         from jax.experimental.shard_map import shard_map as _sm
 
         return _sm(
             f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=False,
+            check_rep=check,
         )
 
 
@@ -101,7 +108,13 @@ def sharded_lookup(
             rows = jnp.where(own[:, None], rows, 0.0)
             return jax.lax.psum(rows, AXIS_MODEL)
 
-    fm = shard_map(f, mesh, in_specs=(P(AXIS_MODEL, None), P()), out_specs=P())
+    # gather mode's output is an all_gather result claimed replicated —
+    # not statically inferable (see shard_map docstring); exchange mode's
+    # psum checks fine.
+    fm = shard_map(
+        f, mesh, in_specs=(P(AXIS_MODEL, None), P()), out_specs=P(),
+        check=(mode != "gather"),
+    )
     return fm(table, ids)
 
 
@@ -190,6 +203,7 @@ def sharded_masked_topk(
         f, mesh,
         in_specs=(P(), P(AXIS_MODEL, None), P(AXIS_MODEL)),
         out_specs=(P(), P()),
+        check=False,  # outputs are all_gather merges (see shard_map docstring)
     )
     return fm(user_emb, item_emb, excluded)
 
@@ -265,6 +279,7 @@ def sharded_retrieval_topk(
         f, mesh,
         in_specs=(P(), P(AXIS_MODEL, None), P(AXIS_MODEL)),
         out_specs=(P(), P(), P()),
+        check=False,  # outputs are all_gather merges (see shard_map docstring)
     )
     av, ai, ag = fm(user_emb, item_emb, excluded)
     rated = (
@@ -316,6 +331,7 @@ def _sharded_exact_rows(mesh, users_rows, item_emb, rated_rows, excluded, k):
         f, mesh,
         in_specs=(P(), P(AXIS_MODEL, None), P(AXIS_MODEL)),
         out_specs=(P(), P()),
+        check=False,  # outputs are all_gather merges (see shard_map docstring)
     )
     av, ai = fm(users_rows, item_emb, excluded)
     is_rated = jnp.any(

@@ -13,7 +13,6 @@ math comparison (that sensitivity is why PARITY_AGNN uses
 --shared_backbone; see PERF.md).
 """
 import os
-import sys
 
 import pytest
 
@@ -25,7 +24,8 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_agnn_matches_torch_reference():
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    # side-effect-free import (conftest puts tools/ on sys.path); main()
+    # scopes its own reference-path setup and purges it on exit
     from debug_agnn_parity import main
 
     diffs = main()

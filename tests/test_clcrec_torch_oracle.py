@@ -10,8 +10,6 @@ replacement indices injected identically on both sides, and the FULL loss
 the eval-table cold-row patch (encoder output, CLCRec.py:155-157).
 """
 import os
-import sys
-import tempfile
 import types
 
 import numpy as np
@@ -25,15 +23,7 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.fixture(scope="module")
-def both():
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from parity_check import FAISS_SHIM
-
-    shim = tempfile.mkdtemp(prefix="clc_shim_")
-    with open(os.path.join(shim, "faiss.py"), "w") as f:
-        f.write(FAISS_SHIM)
-    sys.path.insert(0, shim)
-    sys.path.insert(0, REF)
+def both(ref_env):
     import torch
 
     from model.CLCRec import CLCRec_Learner
@@ -81,7 +71,7 @@ def both():
     return ref, ours, data
 
 
-def test_full_loss_matches(both):
+def test_full_loss_matches(both, monkeypatch):
     import jax
     import jax.numpy as jnp
     import torch
@@ -98,13 +88,17 @@ def test_full_loss_matches(both):
     items = np.concatenate([pos[:, None], negs], axis=1)
     user_flat = torch.tensor(np.repeat(u, n1))
     item_flat = torch.tensor(items)
-    orig = torch.randint
-    torch.randint = lambda *a, **kw: torch.tensor(rand_index)
-    try:
-        with torch.no_grad():
-            t_loss = ref.loss(user_flat, item_flat)
-    finally:
-        torch.randint = orig
+    def canned_randint(high, size, *a, **kw):
+        # only the hybrid-set draw (CLCRec.py loss) may land here; if any
+        # other randint call appears on the reference path, fail loudly
+        # instead of silently feeding it the canned indices.
+        assert high == b * n1 and size == (len(rand_index),), (high, size)
+        return torch.tensor(rand_index)
+
+    monkeypatch.setattr(torch, "randint", canned_randint)
+    with torch.no_grad():
+        t_loss = ref.loss(user_flat, item_flat)
+    monkeypatch.undo()
 
     batch = {
         "user": jnp.asarray(u), "pos_item": jnp.asarray(pos),

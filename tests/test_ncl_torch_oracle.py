@@ -13,8 +13,6 @@ statistically-equivalent, not bitwise), and pins to fp32 precision:
   3. the post-warm-up ProtoNCE term (NCL.py:57-66)
 """
 import os
-import sys
-import tempfile
 import types
 
 import numpy as np
@@ -28,15 +26,7 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.fixture(scope="module")
-def both():
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from parity_check import FAISS_SHIM
-
-    shim = tempfile.mkdtemp(prefix="ncl_shim_")
-    with open(os.path.join(shim, "faiss.py"), "w") as f:
-        f.write(FAISS_SHIM)
-    sys.path.insert(0, shim)
-    sys.path.insert(0, REF)
+def both(ref_env):
     import torch
 
     from model.NCL import LGCN_Encoder, NCL as RefNCL
@@ -110,7 +100,6 @@ def _batch(data, ours, n=48, seed=2):
 def test_warmup_loss_matches(both):
     import torch
 
-    sys.path.insert(0, REF)
     from util.utils import bpr_loss as t_bpr, l2_reg_loss as t_l2
 
     ref, ours, data = both

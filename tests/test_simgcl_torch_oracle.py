@@ -10,7 +10,6 @@ loss (BPR + L2(user,pos) + cl_rate * InfoNCE) to fp32 precision. Clean
 forwards (the eval path, layer mean 1..L excluding ego) are pinned too.
 """
 import os
-import sys
 import types
 
 import numpy as np
@@ -26,21 +25,8 @@ N_LAYERS = 2
 D = 16
 
 
-def _install_faiss_shim():
-    import tempfile
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from parity_check import FAISS_SHIM
-
-    shim = tempfile.mkdtemp(prefix="cl_shim_")
-    with open(os.path.join(shim, "faiss.py"), "w") as f:
-        f.write(FAISS_SHIM)
-    sys.path.insert(0, shim)
-
-
 def _make(model_name):
-    _install_faiss_shim()
-    sys.path.insert(0, REF)
+    # caller holds the module-scoped ref_env fixture (shim + REF on sys.path)
     import torch
 
     from coldrec_tpu.config import default_args
@@ -119,7 +105,7 @@ def _batch(data, n=48, seed=8):
 
 
 @pytest.mark.parametrize("model_name", ["SimGCL", "XSimGCL"])
-def test_clean_forward_matches(model_name):
+def test_clean_forward_matches(model_name, ref_env):
     import torch
 
     ours, enc, data, _ = _make(model_name)
@@ -130,7 +116,7 @@ def test_clean_forward_matches(model_name):
     np.testing.assert_allclose(np.asarray(it), out[1].numpy(), atol=2e-5)
 
 
-def test_simgcl_full_loss_matches():
+def test_simgcl_full_loss_matches(ref_env, monkeypatch):
     import jax
     import jax.numpy as jnp
     import torch
@@ -141,15 +127,12 @@ def test_simgcl_full_loss_matches():
     u, i, j, batch = _batch(data)
     s1, s2 = _noise_stacks(data, 2, seed=21)
 
-    orig = torch.rand_like
-    torch.rand_like = _RandQueue([s1, s2])
-    try:
-        with torch.no_grad():
-            ru, ri = enc(False)
-            uv1, iv1 = enc(True)
-            uv2, iv2 = enc(True)
-    finally:
-        torch.rand_like = orig
+    monkeypatch.setattr(torch, "rand_like", _RandQueue([s1, s2]))
+    with torch.no_grad():
+        ru, ri = enc(False)
+        uv1, iv1 = enc(True)
+        uv2, iv2 = enc(True)
+    monkeypatch.undo()
     with torch.no_grad():
         ue, pe, ne = ru[u], ri[i], ri[j]
         uu = torch.unique(torch.tensor(u))
@@ -167,7 +150,7 @@ def test_simgcl_full_loss_matches():
     np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=2e-5)
 
 
-def test_xsimgcl_full_loss_matches():
+def test_xsimgcl_full_loss_matches(ref_env, monkeypatch):
     import jax
     import jax.numpy as jnp
     import torch
@@ -178,13 +161,10 @@ def test_xsimgcl_full_loss_matches():
     u, i, j, batch = _batch(data)
     (s1,) = _noise_stacks(data, 1, seed=22)
 
-    orig = torch.rand_like
-    torch.rand_like = _RandQueue([s1])
-    try:
-        with torch.no_grad():
-            ru, ri, cu, ci = enc(True)
-    finally:
-        torch.rand_like = orig
+    monkeypatch.setattr(torch, "rand_like", _RandQueue([s1]))
+    with torch.no_grad():
+        ru, ri, cu, ci = enc(True)
+    monkeypatch.undo()
     with torch.no_grad():
         ue, pe, ne = ru[u], ri[i], ri[j]
         uu = torch.unique(torch.tensor(u))

@@ -15,6 +15,7 @@ kills both RNG paths (dropout=0, z=mu), and diffs every intermediate:
 
 Run CPU-forced: JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python tools/debug_agnn_parity.py
 """
+import contextlib
 import os
 import sys
 import tempfile
@@ -22,31 +23,39 @@ import types
 
 import numpy as np
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+REF = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import torch
+@contextlib.contextmanager
+def _scoped_reference_paths():
+    """Put [faiss shim, /root/reference, repo root] on sys.path, reversibly.
 
-from coldrec_tpu.config import default_args
-from coldrec_tpu.data.synthetic import synthetic_dataset
-from coldrec_tpu.models import model_factory
-from coldrec_tpu.models.agnn import _vae_p, _vae_q
-from coldrec_tpu.ops.losses import bpr_loss, l2_reg_loss, mse_loss
-from coldrec_tpu.runtime.trainer import Config
+    All mutation is scoped so that importing this module is side-effect-free
+    (tests/test_agnn_torch_oracle.py imports it inside the pytest process;
+    ADVICE r2). The reference package needs the faiss shim because
+    model/__init__ imports KNN.py.
+    """
+    from parity_check import FAISS_SHIM  # tools/ is on sys.path in both entry modes
 
-# the reference package needs the faiss shim (model/__init__ imports KNN.py)
-from parity_check import FAISS_SHIM
-
-shim_dir = tempfile.mkdtemp(prefix="agnn_shim_")
-with open(os.path.join(shim_dir, "faiss.py"), "w") as f:
-    f.write(FAISS_SHIM)
-sys.path.insert(0, shim_dir)
-sys.path.insert(0, "/root/reference")
-from model.AGNN import AGNN_Learner  # noqa: E402
+    shim_dir = tempfile.mkdtemp(prefix="agnn_shim_")
+    with open(os.path.join(shim_dir, "faiss.py"), "w") as f:
+        f.write(FAISS_SHIM)
+    inserted = [shim_dir, REF, REPO]
+    for p in reversed(inserted):
+        sys.path.insert(0, p)
+    try:
+        yield
+    finally:
+        for p in inserted:
+            if p == REPO:
+                continue  # the repo root is never pollution
+            while p in sys.path:
+                sys.path.remove(p)
+        for name, mod in list(sys.modules.items()):
+            f = getattr(mod, "__file__", None)
+            if f and (f.startswith(REF + os.sep) or f.startswith(shim_dir)):
+                del sys.modules[name]
 
 
 def t2n(t):
@@ -66,6 +75,23 @@ def diff(name, a, b, tol=2e-4):
 
 
 def main():
+    with _scoped_reference_paths():
+        return _run()
+
+
+def _run():
+    import jax.numpy as jnp
+    import torch
+
+    from coldrec_tpu.config import default_args
+    from coldrec_tpu.data.synthetic import synthetic_dataset
+    from coldrec_tpu.models import model_factory
+    from coldrec_tpu.models.agnn import _vae_p, _vae_q
+    from coldrec_tpu.ops.losses import bpr_loss, l2_reg_loss, mse_loss
+    from coldrec_tpu.runtime.trainer import Config
+
+    from model.AGNN import AGNN_Learner
+
     data, _ = synthetic_dataset(
         n_users=40, n_items=60, n_inter=900, cold_object="item",
         content_dim=8, seed=3,
@@ -195,4 +221,6 @@ def main():
 
 
 if __name__ == "__main__":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     main()
