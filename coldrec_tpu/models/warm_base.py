@@ -48,18 +48,30 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
         row-sharded over the model axis when divisible, everything else is
         replicated; batches shard over the data axis. On one device or with
         --mesh unset this is a no-op and the single-chip path runs.
+
+        Under a multi-process group (SURVEY §5.8; main.py calls
+        init_distributed first) the mesh spans ALL global devices — --mesh
+        unset defaults to pure DP over them — and placement goes through
+        host_to_global (per-process addressable-shard feeding) because
+        device_put of a host array cannot target non-addressable devices.
         """
         self.mesh = None
         self._batch_sharding = None
-        spec = str(getattr(self.args, "mesh", "") or "")
-        if not spec:
-            return
         import jax
+
+        multiproc = jax.process_count() > 1
+        spec = str(getattr(self.args, "mesh", "") or "")
+        if not spec and not multiproc:
+            return
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from ..parallel.distributed import host_to_global
         from ..parallel.mesh import AXIS_DATA, AXIS_MODEL, make_mesh
 
-        n_data, n_model = (int(x) for x in spec.lower().split("x"))
+        if spec:
+            n_data, n_model = (int(x) for x in spec.lower().split("x"))
+        else:  # multi-process default: DP over every global device
+            n_data, n_model = len(jax.devices()), 1
         self.mesh = make_mesh(n_data, n_model)
         self._batch_sharding = NamedSharding(self.mesh, P(AXIS_DATA))
         rep = NamedSharding(self.mesh, P())
@@ -73,13 +85,13 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
                 and x.shape[0] in table_rows
                 and x.shape[0] % n_model == 0
             ):
-                return jax.device_put(x, row)
-            return jax.device_put(x, rep)
+                return host_to_global(x, row)
+            return host_to_global(x, rep)
 
         self.params = jax.tree_util.tree_map(place, self.params)
         if getattr(self, "net_state", None) is not None:
             self.net_state = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, rep), self.net_state
+                lambda x: host_to_global(x, rep), self.net_state
             )
 
     def build_graph(self):
@@ -106,10 +118,13 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
     def _place_batch(self, batch):
         if self._batch_sharding is None:
             return batch
-        import jax
+        from ..parallel.distributed import host_to_global
 
+        # host_to_global feeds each process's addressable rows only, so the
+        # identical-per-process host batch survives a multi-process mesh
         return {
-            k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()
+            k: host_to_global(v, self._batch_sharding)
+            for k, v in batch.items()
         }
 
     def setup_optimizer(self):
@@ -127,8 +142,8 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
 
                 self._step = make_train_step_aux(loss_no_key, self.optimizer)
             self._forward_jit = self._make_forward_jit()
-            self.user_emb, self.item_emb = self._forward_jit(
-                self.params, self.net_state
+            self.user_emb, self.item_emb = self._local_tables(
+                *self._forward_jit(self.params, self.net_state)
             )
         else:
             if self.uses_rng_in_loss:
@@ -139,9 +154,20 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
 
                 self._step = make_train_step(loss_no_key, self.optimizer)
             self._forward_jit = self._make_forward_jit()
-            self.user_emb, self.item_emb = self._forward_jit(self.params)
+            self.user_emb, self.item_emb = self._local_tables(
+                *self._forward_jit(self.params)
+            )
         self.best_user_emb, self.best_item_emb = self.user_emb, self.item_emb
         self._score_fn = None
+
+    def _local_tables(self, ue, ie):
+        """Eval tables must be process-local: the eval sweep partitions
+        user chunks per host and scores them with local programs, so a
+        global (possibly non-addressable) forward output is localized
+        first (identity in single-process runs)."""
+        from ..parallel.distributed import localize
+
+        return localize(ue), localize(ie)
 
     def _make_forward_jit(self):
         """Hook: models whose forward closes over very large device arrays
@@ -255,23 +281,30 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
                         f"batch_loss: {float(loss):.5f}"
                     )
             if self.stateful:
-                self.user_emb, self.item_emb = self._forward_jit(
-                    self.params, self.net_state
+                self.user_emb, self.item_emb = self._local_tables(
+                    *self._forward_jit(self.params, self.net_state)
                 )
             else:
-                self.user_emb, self.item_emb = self._forward_jit(self.params)
+                self.user_emb, self.item_emb = self._local_tables(
+                    *self._forward_jit(self.params)
+                )
             self._score_fn = None
             if epoch % self.eval_every == 0:
                 self.fast_evaluation(epoch, valid_type="all")
                 if self.should_stop():
                     break
             if self._ckpt_path():
-                self._save_train_state(epoch)
+                from ..parallel.distributed import process_index
+
+                if process_index() == 0:  # rank-0 checkpoint writer
+                    self._save_train_state(epoch)
         self.epochs_ran = (epoch + 1) if self.max_epoch > 0 else 0
         self.timer(start=False)
         self.user_emb, self.item_emb = self.best_user_emb, self.best_item_emb
         self._score_fn = None
-        if self.args.save_emb:
+        from ..parallel.distributed import process_index
+
+        if self.args.save_emb and process_index() == 0:
             tensors = {
                 "user_emb": np.asarray(self.user_emb),
                 "item_emb": np.asarray(self.item_emb),

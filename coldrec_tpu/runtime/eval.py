@@ -143,10 +143,20 @@ class EvalSweep:
         data_type: str,
         score_fn: Callable[[np.ndarray], jnp.ndarray],
     ) -> np.ndarray:
-        """Return (n_users, max_n) ranked recommended item ids (mapped)."""
+        """Return (n_users, max_n) ranked recommended item ids (mapped).
+
+        Under a multi-process group the user chunks are partitioned
+        round-robin across processes (each host scores only its share with
+        local programs) and the per-host rec lists merge through one
+        process_allgather — the multi-host split of the reference's
+        single-GPU eval loop (BaseRecommender.py:170-183).
+        """
         st = self._prepare(split_name, data_type)
+        n_chunks = st["user_chunks"].shape[0]
+        if jax.process_count() > 1:
+            return self._run_multiprocess(st, n_chunks, score_fn)
         outs = []
-        for c in range(st["user_chunks"].shape[0]):
+        for c in range(n_chunks):
             users = st["user_chunks"][c]
             scores = score_fn(users)
             _, idx = masked_topk(
@@ -155,6 +165,25 @@ class EvalSweep:
             outs.append(idx)
         rec = jnp.concatenate(outs, axis=0)[: st["n_users"]]
         return np.asarray(jax.device_get(rec))
+
+    def _run_multiprocess(self, st, n_chunks: int, score_fn) -> np.ndarray:
+        from ..parallel.distributed import allgather_host, partition_chunks
+
+        mine, pc, _ = partition_chunks(n_chunks)
+        slots = -(-n_chunks // pc)  # equal per-process slot count
+        bs = st["user_chunks"].shape[1]
+        local = np.zeros((slots, bs, self.max_n), np.int32)
+        for slot, c in enumerate(mine):
+            scores = score_fn(st["user_chunks"][c])
+            _, idx = masked_topk(
+                scores, st["rated_chunks"][c], st["bias"], self.max_n
+            )
+            local[slot] = np.asarray(jax.device_get(idx))
+        gathered = allgather_host(local)  # (pc, slots, bs, max_n)
+        rec = np.concatenate(
+            [gathered[c % pc, c // pc] for c in range(n_chunks)], axis=0
+        )
+        return rec[: st["n_users"]]
 
     def pallas_supported(self, split_name: str, data_type: str) -> bool:
         """The fused kernel emits SLOTS*LANES candidates per user; the

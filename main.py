@@ -33,6 +33,11 @@ def _args_to_serializable(ns):
 
 
 def run(args) -> dict:
+    # multi-host process group first, before any device use (SURVEY §5.8;
+    # no-op unless COLDREC_COORDINATOR/COLDREC_NUM_PROCESSES configure one)
+    from coldrec_tpu.parallel.distributed import init_distributed
+
+    init_distributed()
     if getattr(args, "debug_nans", False):
         import jax
 
@@ -133,7 +138,10 @@ def _run(args) -> dict:
             "seconds_per_completed_epoch_std": std_time,
         },
     }
-    _write_result_file(args, payload, top_ns)
+    from coldrec_tpu.parallel.distributed import process_index
+
+    if process_index() == 0:  # rank-0 writer under a multi-process group
+        _write_result_file(args, payload, top_ns)
     return payload
 
 
