@@ -96,6 +96,19 @@ run --model XSimGCL   --scale ml --epochs 15
 run --model SimGCL    --scale ml --epochs 15
 run --model GoRec     --scale ml --epochs 15
 
+# --- tier 1b (round 3): user-cold at ml. KNN is the only both-side model
+# that had NO user artifact (reference KNN.py:12-15 backbone select,
+# 43-48 cold-row patch on either side); the other five are the cheapest
+# reference sides among the 13 user-cold models. All use
+# --shared_backbone (per-side backbone draws dominate cold-model
+# comparisons — see PARITY_DropoutNet_user.json 2x2 cross-feed).
+run --model KNN        --cold_object user --scale ml --epochs 15 --shared_backbone
+run --model DeepMusic  --cold_object user --scale ml --epochs 12 --shared_backbone
+run --model DUIF       --cold_object user --scale ml --epochs 12 --shared_backbone
+run --model GAR        --cold_object user --scale ml --epochs 12 --shared_backbone
+run --model DropoutNet --cold_object user --scale ml --epochs 12 --shared_backbone
+run --model MetaEmbedding --cold_object user --scale ml --epochs 12 --shared_backbone
+
 # --- tier 2: reference-CPU-bound at ml; medium is the honest ceiling
 # NCL measured ~100 s/epoch on the reference side at ml (ProtoNCE over the
 # full GCN + per-epoch k-means through the faiss shim): 15 ep x 5 runs
