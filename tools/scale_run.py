@@ -1,10 +1,12 @@
-"""Book-crossing-scale end-to-end timing driver (VERDICT r1 task 9).
+"""Reference-scale end-to-end timing driver (VERDICT r1 task 9 / r2 task 4).
 
-Generates a synthetic dataset at the reference's largest published shape
-(book-crossing: ~92k users x 270k items, ~1.03M interactions after the
-appearance guarantees; /root/reference/data/README.md), writes it in the
-reference file layout, then times a full ``main.py`` run (train + 3-way
-eval) for the requested model on the real chip.
+Generates a synthetic dataset at a reference-published shape — ``--shape
+bx`` (book-crossing: ~92k x 270k, ~1.03M interactions — the widest item
+axis) or ``--shape xing`` (XING: ~107k x 20.5k, ~3.86M interactions,
+content dim 2,738 — the heaviest nnz and content width;
+/root/reference/data/README.md) — writes it in the reference file layout,
+then times a full ``main.py`` run (train + 3-way eval) for the requested
+model on the real chip.
 
 Cold-start models need a warm backbone artifact on the npz bus; pass
 ``--make_backbone`` (or it is auto-detected as missing) and the script
@@ -14,8 +16,9 @@ Usage::
 
     python tools/scale_run.py --model MF   --epochs 2
     python tools/scale_run.py --model CGRC --epochs 1
+    python tools/scale_run.py --model CCFCRec --epochs 1 --shape xing
 
-The dataset is cached under ``tools/bx_workdir/`` across invocations
+The dataset is cached under ``tools/<shape>_workdir/`` across invocations
 (delete the directory to regenerate).
 """
 from __future__ import annotations
@@ -32,15 +35,35 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WORKDIR = os.path.join(REPO, "tools", "bx_workdir")
 
-# Post-remap shape targets (reference book-crossing: 92,107 x 270,170,
-# 1,034,619 interactions per SURVEY §6 / data/README.md).
-N_USERS = 92_107
-N_ITEMS = 270_170
-N_INTER = 675_000  # + user/item appearance guarantees -> ~1.03M pairs
-CONTENT_DIM = 64
-DATASET = "bx"
+# Shape targets from the reference's published dataset table
+# (/root/reference/data/README.md:9-11 / SURVEY §6):
+#   bx   — book-crossing 92,107 x 270,170, ~1.03M interactions (the widest
+#          item axis; n_inter excludes the user/item appearance guarantees)
+#   xing — XING 106,881 x 20,519, 3,856,580 interactions, item content dim
+#          2,738: 3.7x the nnz of bx (stresses sampler / ELL build / graph
+#          SpMM) and 6.6x the content width (stresses every content-MLP
+#          first layer and attribute attention)
+SHAPES = {
+    "bx": dict(
+        n_users=92_107, n_items=270_170, n_inter=675_000, content_dim=64
+    ),
+    "xing": dict(
+        n_users=106_881, n_items=20_519, n_inter=4_400_000, content_dim=2_738
+    ),
+}
+def _set_shape(shape: str) -> None:
+    global SHAPE, WORKDIR, N_USERS, N_ITEMS, N_INTER, CONTENT_DIM, DATASET
+    SHAPE = shape
+    WORKDIR = os.path.join(REPO, "tools", f"{shape}_workdir")
+    N_USERS = SHAPES[shape]["n_users"]
+    N_ITEMS = SHAPES[shape]["n_items"]
+    N_INTER = SHAPES[shape]["n_inter"]
+    CONTENT_DIM = SHAPES[shape]["content_dim"]
+    DATASET = shape
+
+
+_set_shape(os.environ.get("SCALE_SHAPE", "bx"))
 
 # Warm-backbone models: anything else needs a backbone artifact first.
 WARM = {"MF", "NGCF", "LightGCN", "NCL", "SimGCL", "XSimGCL"}
@@ -133,8 +156,10 @@ def main():
     p.add_argument("--backbone", default="MF")
     p.add_argument("--backbone_epochs", type=int, default=2)
     p.add_argument("--cold_object", default="item")
+    p.add_argument("--shape", default=SHAPE, choices=list(SHAPES))
     args, extra = p.parse_known_args()  # unknown flags forward to main.py
 
+    _set_shape(args.shape)
     build_dataset(cold_object=args.cold_object)
 
     if args.model not in WARM:
