@@ -120,15 +120,26 @@ class USIM(ColdStartModelBase):
             self.mapper["fc2"], jax.nn.relu(linear(self.mapper["fc1"], content))
         )
 
-    def _reward(self, item_emb, state, action, dones):
+    def _target_topk(self, item_emb):
+        """Reward's target alignment columns (USIM.py:473-522) — a function
+        of item_emb ONLY, so callers compute it once per batch instead of
+        once per rollout step (BX profile: a (B, 92k) plane + a 92k-wide
+        top_k per step, x 3 rollouts x max_time)."""
+        target_score = item_emb @ self.user_ext.T
+        return jax.lax.top_k(target_score, REWARD_TOPK)
+
+    def _reward(self, item_emb, state, action, dones, tops=None):
         sim1 = jnp.linalg.norm(item_emb - state, axis=1)
         user_emb = self.user_ext[action]
         nxt = state + user_emb * self.rate
         sim2 = jnp.linalg.norm(item_emb - nxt, axis=1)
-        target_score = item_emb @ self.user_ext.T
-        top_s, idx = jax.lax.top_k(target_score, REWARD_TOPK)
-        st_s = jnp.take_along_axis(state @ self.user_ext.T, idx, axis=1)
-        nx_s = jnp.take_along_axis(nxt @ self.user_ext.T, idx, axis=1)
+        top_s, idx = self._target_topk(item_emb) if tops is None else tops
+        # score the state against ONLY the REWARD_TOPK selected user
+        # columns: a (B, K, d) gathered einsum replaces the (B, n_user)
+        # plane + take_along_axis (BX: 92k-wide planes -> 10-wide)
+        user_sel = self.user_ext[idx]
+        st_s = jnp.einsum("bd,bkd->bk", state, user_sel)
+        nx_s = jnp.einsum("bd,bkd->bk", nxt, user_sel)
         differ = jnp.abs(top_s - st_s) - jnp.abs(top_s - nx_s)
         discount = jnp.log2(jnp.arange(REWARD_TOPK) + 2.0)
         differ = differ / discount
@@ -185,9 +196,13 @@ class USIM(ColdStartModelBase):
         keep = w & ~dup & (cands != masked_am[:, None])
         return cands, keep
 
-    def _sample_mask(self, state, item_emb, key, target_actor, state_time):
+    def _sample_mask(self, state, item_emb, key, target_actor, state_time,
+                     topk_user=None):
         """Masked exploration distribution (USIM.py:668-759). Returns
         (action, pos_idx, user_idx, neg_idx, masked_argmax).
+
+        ``topk_user`` (a function of item_emb only) is hoisted out of the
+        rollout time loop by _batch_step; computed here when absent.
 
         Sampling runs over the ≤2k+1 support columns (categorical is
         renormalization-invariant, so the distribution is identical to
@@ -208,8 +223,11 @@ class USIM(ColdStartModelBase):
             jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-12
         )
         sim = dn @ norm_mat.T  # (B, n_user)
-        state_score = item_emb @ self.user_ext[:-1].T
-        _, topk_user = jax.lax.top_k(state_score, min(self.k, self.n_user - 1))
+        if topk_user is None:
+            state_score = item_emb @ self.user_ext[:-1].T
+            _, topk_user = jax.lax.top_k(
+                state_score, min(self.k, self.n_user - 1)
+            )
         _, pos_idx = jax.lax.top_k(sim, min(self.k, self.n_user))
         neg = jax.random.randint(k1, (b, self.k), 0, self.n_user - 1)
         stop_col = jnp.full((b, 1), self.n_user - 1, neg.dtype)
@@ -286,6 +304,13 @@ class USIM(ColdStartModelBase):
         """One jitted USIM batch: 3 rollouts -> PPO(5) -> termination step."""
         item_emb = self.item_table[items]
         content = self.content[items]
+        # batch-invariant planes hoisted out of the 3 x max_time rollout
+        # steps: both depend on item_emb only (the (B, n_user) planes and
+        # their 92k-wide top_ks dominated the BX rollout cost)
+        _, topk_user = jax.lax.top_k(
+            item_emb @ self.user_ext[:-1].T, min(self.k, self.n_user - 1)
+        )
+        tops = self._target_topk(item_emb)
         trans = []
         for r in range(3):
             key, sub = jax.random.split(key)
@@ -295,9 +320,10 @@ class USIM(ColdStartModelBase):
             for t in range(self.max_time):
                 key, sk = jax.random.split(key)
                 action, pos_i, user_i, neg_i, mam = self._sample_mask(
-                    state, item_emb, sk, target_actor, state_time
+                    state, item_emb, sk, target_actor, state_time,
+                    topk_user=topk_user,
                 )
-                reward = self._reward(item_emb, state, action, dones)
+                reward = self._reward(item_emb, state, action, dones, tops)
                 ue = self.user_ext[action] * (1.0 - dones.astype(jnp.float32))[:, None]
                 next_state = state + ue * self.rate
                 dones = dones | (action == self.n_user - 1)
@@ -479,14 +505,28 @@ class USIM(ColdStartModelBase):
 
     # ------------------------------------------------------------- rollouts
     def _infer(self, actor, content):
-        """Greedy rollout -> final states (USIM.py:524-549)."""
+        """Greedy rollout -> final states (USIM.py:524-549).
+
+        argmax([softmax(z) * end0 ∥ end1]) never needs the softmax PLANE:
+        within the user columns softmax is strictly monotone in z (same
+        argmax, same first-index tie rule), and the stop column wins only
+        when end1 > end0 * exp(zmax - lse) — the _sample_mask `am`
+        formulation. Drops 3 elementwise passes over the (B, n_user)
+        plane per step (exp/sum/div), which at BX scale (92k users) made
+        the per-epoch cold-item inference HBM-bound.
+        Equivalence: tests/test_misc_coverage.py::test_usim_infer_greedy
+        pins this against the _probs-plane argmax oracle."""
         state = self._map_content(content)
         dones = jnp.zeros(content.shape[0], bool)
         state_time = jnp.full(content.shape[0], float(self.max_time))
         for _ in range(self.max_time):
             idx_state = jnp.concatenate([state, state_time[:, None]], 1)
-            probs = _probs(actor, self.user_ext[:-1], idx_state)
-            action = jnp.argmax(probs, axis=1)
+            z, lse, end = self._z_lse(actor, idx_state)
+            best_user = end[:, 0] * jnp.exp(jnp.max(z, axis=1) - lse)
+            action = jnp.where(
+                best_user >= end[:, 1], jnp.argmax(z, axis=1),
+                self.n_user - 1,
+            )
             ue = self.user_ext[action] * (1.0 - dones.astype(jnp.float32))[:, None]
             state = state + ue * self.rate
             dones = dones | (action == self.n_user - 1)

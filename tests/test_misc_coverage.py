@@ -197,3 +197,95 @@ def test_event_log_written(data, tmp_path, monkeypatch):
     assert kinds.count("validation") == 2
     run_end = [e for e in events if e["event"] == "run_end"][0]
     assert run_end["epochs_ran"] == 2
+
+
+def test_usim_infer_greedy_matches_probs_plane(data, tmp_path):
+    """_infer's z-row greedy argmax (no softmax plane) must follow the
+    same trajectory as the direct transcription of the reference's
+    argmax over [softmax(z)*end0 || end1] (USIM.py:524-549)."""
+    import jax.numpy as jnp
+
+    from coldrec_tpu.models.usim import _probs
+
+    args = default_args(
+        model="USIM", dataset="synth", epochs=0, bs=32, emb_size=8,
+        early_stop=3, emb_dir=str(tmp_path), seed=3, save_emb=False,
+        usim_max_time=4, usim_k=4,
+    )
+    usim = model_factory(Config(args, data))  # xavier backbone fallback
+    content = usim.content[usim.cold_idx][:24]
+
+    # oracle: the plane formulation, step for step
+    state = usim._map_content(content)
+    dones = jnp.zeros(content.shape[0], bool)
+    st = jnp.full(content.shape[0], float(usim.max_time))
+    for _ in range(usim.max_time):
+        idx_state = jnp.concatenate([state, st[:, None]], 1)
+        probs = _probs(usim.actor, usim.user_ext[:-1], idx_state)
+        action = jnp.argmax(probs, axis=1)
+        ue = usim.user_ext[action] * (1.0 - dones.astype(jnp.float32))[:, None]
+        state = state + ue * usim.rate
+        dones = dones | (action == usim.n_user - 1)
+        st = st - 1
+
+    got = usim._infer(usim.actor, content)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(state), atol=1e-6)
+
+
+def test_usim_reward_and_sample_hoisting_equivalent(data, tmp_path):
+    """The hoisted batch-invariant forms (_target_topk passed into _reward;
+    topk_user passed into _sample_mask) must equal the self-computing
+    forms, and _reward's gathered einsum must equal the plane + gather."""
+    import jax
+    import jax.numpy as jnp
+
+    args = default_args(
+        model="USIM", dataset="synth", epochs=0, bs=16, emb_size=8,
+        early_stop=3, emb_dir=str(tmp_path), seed=9, save_emb=False,
+        usim_max_time=2, usim_k=3,
+    )
+    usim = model_factory(Config(args, data))
+    rng = np.random.default_rng(4)
+    b = 16
+    items = rng.integers(0, data.item_num, b)
+    item_emb = usim.item_table[jnp.asarray(items)]
+    state = jnp.asarray(rng.standard_normal((b, usim.emb_size)), jnp.float32)
+    action = jnp.asarray(rng.integers(0, usim.n_user, b))
+    dones = jnp.zeros(b, bool)
+
+    tops = usim._target_topk(item_emb)
+    r_hoist = usim._reward(item_emb, state, action, dones, tops)
+    r_self = usim._reward(item_emb, state, action, dones)
+    np.testing.assert_allclose(
+        np.asarray(r_hoist), np.asarray(r_self), atol=1e-6
+    )
+    # plane + gather oracle for the einsum form
+    top_s, idx = tops
+    nxt = state + usim.user_ext[action] * usim.rate
+    st_s = jnp.take_along_axis(state @ usim.user_ext.T, idx, axis=1)
+    nx_s = jnp.take_along_axis(nxt @ usim.user_ext.T, idx, axis=1)
+    differ = (jnp.abs(top_s - st_s) - jnp.abs(top_s - nx_s)) / jnp.log2(
+        jnp.arange(top_s.shape[1]) + 2.0
+    )
+    sim1 = jnp.linalg.norm(item_emb - state, axis=1)
+    sim2 = jnp.linalg.norm(item_emb - nxt, axis=1)
+    r_plane = (
+        usim.weight * (sim1 - sim2)
+        + (1 - usim.weight) * jnp.mean(differ, axis=-1)
+        - usim.reward_cost
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_hoist), np.asarray(r_plane), atol=1e-5
+    )
+
+    key = jax.random.PRNGKey(0)
+    st_time = jnp.full(b, float(usim.max_time))
+    _, tk = jax.lax.top_k(
+        item_emb @ usim.user_ext[:-1].T, min(usim.k, usim.n_user - 1)
+    )
+    out_h = usim._sample_mask(
+        state, item_emb, key, usim.actor, st_time, topk_user=tk
+    )
+    out_s = usim._sample_mask(state, item_emb, key, usim.actor, st_time)
+    for a, b_ in zip(out_h, out_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
