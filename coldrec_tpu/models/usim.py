@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..runtime.eval import _hierarchical_topk
 from .cold_base import ColdStartModelBase
 from .common import adam, linear, linear_params
 
@@ -126,7 +127,10 @@ class USIM(ColdStartModelBase):
         once per rollout step (BX profile: a (B, 92k) plane + a 92k-wide
         top_k per step, x 3 rollouts x max_time)."""
         target_score = item_emb @ self.user_ext.T
-        return jax.lax.top_k(target_score, REWARD_TOPK)
+        # hierarchical: a flat 92k-wide lax.top_k is a full sort on TPU
+        # (the eval-path lesson, runtime/eval.py); two-stage is exact with
+        # the same lowest-index tie rule
+        return _hierarchical_topk(target_score, REWARD_TOPK)
 
     def _reward(self, item_emb, state, action, dones, tops=None):
         sim1 = jnp.linalg.norm(item_emb - state, axis=1)
@@ -225,10 +229,11 @@ class USIM(ColdStartModelBase):
         sim = dn @ norm_mat.T  # (B, n_user)
         if topk_user is None:
             state_score = item_emb @ self.user_ext[:-1].T
-            _, topk_user = jax.lax.top_k(
+            _, topk_user = _hierarchical_topk(
                 state_score, min(self.k, self.n_user - 1)
             )
-        _, pos_idx = jax.lax.top_k(sim, min(self.k, self.n_user))
+        # per rollout STEP and 92k wide at BX — hierarchical, not flat sort
+        _, pos_idx = _hierarchical_topk(sim, min(self.k, self.n_user))
         neg = jax.random.randint(k1, (b, self.k), 0, self.n_user - 1)
         stop_col = jnp.full((b, 1), self.n_user - 1, neg.dtype)
         neg_idx = jnp.concatenate([neg, stop_col], axis=1)
@@ -307,7 +312,7 @@ class USIM(ColdStartModelBase):
         # batch-invariant planes hoisted out of the 3 x max_time rollout
         # steps: both depend on item_emb only (the (B, n_user) planes and
         # their 92k-wide top_ks dominated the BX rollout cost)
-        _, topk_user = jax.lax.top_k(
+        _, topk_user = _hierarchical_topk(
             item_emb @ self.user_ext[:-1].T, min(self.k, self.n_user - 1)
         )
         tops = self._target_topk(item_emb)
