@@ -33,11 +33,48 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..runtime.eval import _hierarchical_topk
 from .cold_base import ColdStartModelBase
 from .common import adam, linear, linear_params
 
 REWARD_TOPK = 10  # hardcoded in the reference (USIM.py:495,504)
+
+
+def _stream_topk(x, k: int, seg: int = 4096):
+    """Exact top-k over a wide trailing axis as a lax.scan running merge.
+
+    Inside USIM's UNROLLED rollout (3 x max_time python steps in one jit)
+    both a flat wide ``lax.top_k`` and the eval path's reshape-based
+    hierarchical form materialize multi-GB sort temps per step — XLA kept
+    several alive at once and OOM'd HBM at the XING shape (4096 x 107k
+    planes, s32[4096,27,4096] sort temps x3). The scan keeps one
+    (B, seg) slice + a (B, 2k) merge live at a time; stability gives
+    torch.topk's lowest-index tie rule (earlier segments concat first).
+    Small widths fall through to the flat form unchanged."""
+    b, n = x.shape
+    if n <= 2 * seg:
+        return jax.lax.top_k(x, min(k, n))
+    pad = (-n) % seg
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((b, pad), -3.4e38, x.dtype)], axis=1
+        )
+    s = x.shape[1] // seg
+
+    def body(carry, i):
+        cv, ci = carry
+        chunk = jax.lax.dynamic_slice_in_dim(x, i * seg, seg, axis=1)
+        v, idx = jax.lax.top_k(chunk, k)
+        mv = jnp.concatenate([cv, v], axis=1)
+        mi = jnp.concatenate([ci, idx + i * seg], axis=1)
+        nv, pos = jax.lax.top_k(mv, k)
+        return (nv, jnp.take_along_axis(mi, pos, axis=1)), None
+
+    init = (
+        jnp.full((b, k), -jnp.inf, x.dtype),
+        jnp.zeros((b, k), jnp.int32),
+    )
+    (tv, ti), _ = jax.lax.scan(body, init, jnp.arange(s))
+    return tv, ti
 
 
 def _probs(actor, table, state):
@@ -127,10 +164,9 @@ class USIM(ColdStartModelBase):
         once per rollout step (BX profile: a (B, 92k) plane + a 92k-wide
         top_k per step, x 3 rollouts x max_time)."""
         target_score = item_emb @ self.user_ext.T
-        # hierarchical: a flat 92k-wide lax.top_k is a full sort on TPU
-        # (the eval-path lesson, runtime/eval.py); two-stage is exact with
-        # the same lowest-index tie rule
-        return _hierarchical_topk(target_score, REWARD_TOPK)
+        # streaming scan merge: flat wide top_k's sort temps are multi-GB
+        # per call at BX/XING widths (see _stream_topk)
+        return _stream_topk(target_score, REWARD_TOPK)
 
     def _reward(self, item_emb, state, action, dones, tops=None):
         sim1 = jnp.linalg.norm(item_emb - state, axis=1)
@@ -229,11 +265,11 @@ class USIM(ColdStartModelBase):
         sim = dn @ norm_mat.T  # (B, n_user)
         if topk_user is None:
             state_score = item_emb @ self.user_ext[:-1].T
-            _, topk_user = _hierarchical_topk(
+            _, topk_user = _stream_topk(
                 state_score, min(self.k, self.n_user - 1)
             )
-        # per rollout STEP and 92k wide at BX — hierarchical, not flat sort
-        _, pos_idx = _hierarchical_topk(sim, min(self.k, self.n_user))
+        # per rollout STEP and 92k-107k wide at BX/XING — streaming merge
+        _, pos_idx = _stream_topk(sim, min(self.k, self.n_user))
         neg = jax.random.randint(k1, (b, self.k), 0, self.n_user - 1)
         stop_col = jnp.full((b, 1), self.n_user - 1, neg.dtype)
         neg_idx = jnp.concatenate([neg, stop_col], axis=1)
@@ -312,7 +348,7 @@ class USIM(ColdStartModelBase):
         # batch-invariant planes hoisted out of the 3 x max_time rollout
         # steps: both depend on item_emb only (the (B, n_user) planes and
         # their 92k-wide top_ks dominated the BX rollout cost)
-        _, topk_user = _hierarchical_topk(
+        _, topk_user = _stream_topk(
             item_emb @ self.user_ext[:-1].T, min(self.k, self.n_user - 1)
         )
         tops = self._target_topk(item_emb)

@@ -226,14 +226,21 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def default_block_i(n_items: int) -> int:
+def default_block_i(n_items: int, d: int = 64) -> int:
     """Production item-block width. Wider blocks amortize the per-block
     slot cascade (the kernel is VPU-bound, not DMA- or MXU-bound: bf16
     tiles and bigger user tiles both measured NEUTRAL-to-worse); 8192 is
     the measured optimum at book-crossing width, 16384 regresses on VMEM
     pressure (tools/ubench_kernel_variants.py, PERF.md). bench.py reuses
-    this so the headline always measures the production config."""
-    return min(8192, _round_up(n_items, 2048))
+    this so the headline always measures the production config.
+
+    The (d, block_i) item window is double-buffered in VMEM, so wide-d
+    sweeps (the content-KNN route, ops/knn.py — e.g. XING's 2,738-dim
+    item content) must shrink the block: 8 * d * block_i bytes <= ~48 MB
+    of the 128 MB VMEM or the compiler refuses the window allocation."""
+    vmem_cap = 48 * 1024 * 1024 // (8 * max(d, 1))  # f32, 2 buffers
+    cap = max(LANES, (vmem_cap // LANES) * LANES)
+    return min(8192, _round_up(n_items, 2048), cap)
 
 
 def apply_exact_fallback(vals, ids, sus, exact_chunk_fn, chunk=4096):
@@ -332,7 +339,7 @@ def retrieval_topk(
     n_items = item_emb.shape[0]
     assert k + rated_pad.shape[1] <= SLOTS * LANES, (k, SLOTS * LANES)
     if not block_i:
-        block_i = default_block_i(n_items)
+        block_i = default_block_i(n_items, d)
     assert block_i % LANES == 0, block_i
     i_pad = _round_up(n_items, block_i)
     b_pad = _round_up(n_users, tile_u)

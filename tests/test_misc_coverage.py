@@ -289,3 +289,23 @@ def test_usim_reward_and_sample_hoisting_equivalent(data, tmp_path):
     out_s = usim._sample_mask(state, item_emb, key, usim.actor, st_time)
     for a, b_ in zip(out_h, out_s):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_usim_stream_topk_matches_flat():
+    """_stream_topk (scan running merge) == flat lax.top_k including the
+    lowest-index tie rule, across the fall-through and scan regimes."""
+    import jax
+    import jax.numpy as jnp
+
+    from coldrec_tpu.models.usim import _stream_topk
+
+    rng = np.random.default_rng(12)
+    for n, seg in [(300, 64), (1030, 64), (4096, 512)]:
+        x = rng.standard_normal((17, n)).astype(np.float32)
+        # force cross-segment ties
+        x[:, 5] = x[:, n - 7] = x[:, n // 2] = 2.5
+        x = jnp.asarray(x)
+        fv, fi = jax.lax.top_k(x, 9)
+        sv, si = _stream_topk(x, 9, seg=seg)
+        np.testing.assert_array_equal(np.asarray(sv), np.asarray(fv))
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(fi))
