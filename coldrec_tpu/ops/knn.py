@@ -21,8 +21,12 @@ import numpy as np
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_chunk(q: jnp.ndarray, v: jnp.ndarray, k: int):
+    from ..runtime.eval import _hierarchical_topk
+
     scores = q @ v.T
-    return jax.lax.top_k(scores, k)
+    # two-stage top-k: a flat 270k-wide sort hangs the remote compiler
+    # (PERF.md eval-path lesson); exact with the same tie rule
+    return _hierarchical_topk(scores, k)
 
 
 def _knn_via_retrieval(
@@ -58,6 +62,12 @@ def knn_inner_product(
         jax.devices()[0].platform == "tpu"
         and values.shape[0] >= 512
         and k + 1 <= SLOTS * LANES
+        # the kernel's VMEM geometry targets embedding-width sweeps: its
+        # (d, block) item window is double-buffered against the 16 MB
+        # scoped budget, so wide-d content KNN (ML user 3469, BX 2312,
+        # XING 2738 — one-time graph construction, not the eval hot path)
+        # routes through the XLA chunked matmul + top_k below instead
+        and values.shape[1] <= LANES
     ):
         # honour the chunk contract on the kernel path too: one unchunked
         # sweep over ~92k queries (AGNN/FSGNN graph construction at

@@ -234,11 +234,13 @@ def default_block_i(n_items: int, d: int = 64) -> int:
     pressure (tools/ubench_kernel_variants.py, PERF.md). bench.py reuses
     this so the headline always measures the production config.
 
-    The (d, block_i) item window is double-buffered in VMEM, so wide-d
-    sweeps (the content-KNN route, ops/knn.py — e.g. XING's 2,738-dim
-    item content) must shrink the block: 8 * d * block_i bytes <= ~48 MB
-    of the 128 MB VMEM or the compiler refuses the window allocation."""
-    vmem_cap = 48 * 1024 * 1024 // (8 * max(d, 1))  # f32, 2 buffers
+    The (d, block_i) item window is double-buffered against the 16 MB
+    scoped-VMEM budget (alongside the score tile and scratch), so wider-d
+    sweeps must shrink the block: 8 * d * block_i <= ~8 MB. At d <= 128
+    this leaves the measured-optimal 8192 untouched; truly wide d (content
+    KNN, e.g. XING's 2,738-dim item content) can't fit a useful block at
+    all — ops/knn.py routes those through the XLA path instead."""
+    vmem_cap = 8 * 1024 * 1024 // (8 * max(d, 1))  # f32, double-buffered
     cap = max(LANES, (vmem_cap // LANES) * LANES)
     return min(8192, _round_up(n_items, 2048), cap)
 

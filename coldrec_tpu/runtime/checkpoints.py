@@ -29,8 +29,13 @@ def save_train_state(path: str, state: Dict) -> str:
 
     import jax
 
+    from ..parallel.distributed import localize
+
+    # under a multi-process mesh, TP-sharded leaves are not fully
+    # addressable — localize (one process_allgather) before np reads them
     host_state = jax.tree_util.tree_map(
-        lambda x: np.asarray(x) if hasattr(x, "shape") else x, state
+        lambda x: np.asarray(localize(x)) if hasattr(x, "shape") else x,
+        state,
     )
     d = os.path.dirname(os.path.abspath(path))
     if d:
