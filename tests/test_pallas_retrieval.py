@@ -196,3 +196,21 @@ def test_lane_collision_triggers_exact_fallback(rng):
     np.testing.assert_allclose(vals, np.asarray(ref_vals), rtol=1e-5)
     # the planted top set shares a lane class; only exact fallback finds it
     assert set(ids[0, :n_plant].tolist()) == set(plant)
+
+
+def test_default_block_i_vmem_d_cap():
+    """The (d, block_i) item window is double-buffered against the scoped
+    VMEM budget (8 * d * block_i <= ~8 MB), so wider-d sweeps must shrink
+    the block — XING's 2,738-dim content KNN OOM'd VMEM at the fixed 8192
+    before the cap (round-3 fix). Embedding widths keep the measured
+    optimum untouched."""
+    from coldrec_tpu.ops.pallas.retrieval import LANES, default_block_i
+
+    # embedding widths: measured-optimal 8192 (or the rounded item count)
+    assert default_block_i(270_336, d=64) == 8192
+    assert default_block_i(270_336, d=128) == 8192
+    assert default_block_i(3_000, d=64) == 4096  # round_up(I, 2048)
+    for d in (256, 2312, 2738, 3469):  # content-KNN widths
+        b = default_block_i(270_336, d=d)
+        assert b % LANES == 0 and b >= LANES
+        assert 8 * d * b <= 8 * 1024 * 1024 + 8 * d * LANES  # cap honoured
