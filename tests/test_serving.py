@@ -97,3 +97,38 @@ def test_mesh_sharded_serving_matches_single(setup, rng):
     v1, i1 = srv_1.topk(uids, K)
     np.testing.assert_allclose(vs, v1, rtol=1e-5)
     np.testing.assert_array_equal(is_, i1)
+
+
+def test_cold_model_bus_artifact_serves_trainer_lists(tmp_path):
+    """End-to-end guarantee for the primary serving use case: the bus
+    artifact a cold model writes (cold-patched best tables) must serve the
+    SAME ranked lists the live trainer produced for its cold-setting test —
+    i.e. offline eval and online serving are interchangeable views of one
+    model (reference: only the live trainer can answer queries,
+    BaseRecommender.py:63-107)."""
+    from coldrec_tpu.config import default_args
+    from coldrec_tpu.models import model_factory
+    from coldrec_tpu.runtime.trainer import Config
+
+    data, _ = synthetic_dataset(
+        n_users=90, n_items=110, n_inter=2200, cold_object="item",
+        content_dim=12, seed=23,
+    )
+    emb_dir = str(tmp_path)
+    bb = default_args(model="MF", dataset="synth", epochs=3, bs=512,
+                      emb_size=16, early_stop=5, emb_dir=emb_dir, seed=7)
+    model_factory(Config(bb, data)).run()
+    args = default_args(model="GAR", dataset="synth", epochs=2, bs=256,
+                        emb_size=16, early_stop=5, emb_dir=emb_dir, seed=5,
+                        save_emb=True)
+    model = model_factory(Config(args, data))
+    model.run()
+    rec_trainer = model.test("cold")
+
+    srv = RetrievalServer.from_checkpoint(
+        emb_dir, "synth", "item", "GAR", dataset=data,
+        exclude_items=data.candidate_mask("item", "cold"),
+    )
+    users = data.eval_splits["cold_test"].users.astype(np.int32)
+    _, ids = srv.topk(users, model.max_N)
+    np.testing.assert_array_equal(ids, rec_trainer)
