@@ -53,6 +53,14 @@ COMMON_DEFAULTS = dict(
     # jax.config.jax_debug_nans: fail fast at the op that produced a NaN
     # (framework addition, SURVEY §5.2)
     debug_nans=False,
+    # fuse K consecutive train steps into ONE device program (lax.scan
+    # over host-stacked batches) in the warm-backbone loop — amortizes
+    # per-step dispatch + batch-transfer round trips, which dominate
+    # small-step models in remote-dispatch environments (measured: MF at
+    # XING shape; tools/exp_fused_steps.py proves loss- and param-exact
+    # equivalence). 0 = off (per-batch dispatch, the reference-shaped
+    # loop). Framework addition; semantics are identical either way.
+    fused_steps=0,
 )
 
 

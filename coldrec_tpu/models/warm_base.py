@@ -159,6 +159,79 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
             )
         self.best_user_emb, self.best_item_emb = self.user_emb, self.item_emb
         self._score_fn = None
+        self._fused_step = None
+
+    # ---------------------------------------------------------- fused steps
+    def _use_fused(self) -> int:
+        """--fused_steps K (>1) folds K consecutive train steps into ONE
+        device program (lax.scan over host-stacked batches): the step math,
+        batch order, optimizer updates, and PRNG key sequence are identical
+        to the per-batch loop (equivalence proven in
+        tools/exp_fused_steps.py and tests/test_fused_steps.py), but the
+        per-step dispatch and batch-transfer round trips amortize K-fold —
+        they dominate small-step models under remote dispatch. Scoped to
+        the stateless single-process path; stateful models (BatchNorm
+        buffers) and mesh/multi-process runs use the per-batch loop."""
+        k = int(getattr(self.args, "fused_steps", 0) or 0)
+        if (
+            k > 1
+            and not self.stateful
+            and self._batch_sharding is None
+            and jax.process_count() == 1
+        ):
+            return k
+        return 0
+
+    def _make_fused_step(self):
+        import optax
+
+        loss_fn = self.loss_fn
+        optimizer = self.optimizer
+        with_rng = self.uses_rng_in_loss
+
+        def body(carry, xs):
+            p, o = carry
+            b, key = xs if with_rng else (xs, None)
+            loss, grads = jax.value_and_grad(loss_fn)(p, b, key)
+            updates, o = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        def fused(params, opt_state, bs, keys=None):
+            xs = (bs, keys) if with_rng else bs
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), xs
+            )
+            return params, opt_state, losses
+
+        return jax.jit(fused, donate_argnums=(0, 1))
+
+    def _run_fused_group(self, group, epoch: int, n0: int) -> int:
+        """One fused dispatch over len(group) stacked batches; returns the
+        next batch index. Loss prints keep the per-50-batch cadence."""
+        if getattr(self, "_fused_step", None) is None:
+            self._fused_step = self._make_fused_step()
+        stacked = {
+            k: jnp.asarray(np.stack([b[k] for b in group]))
+            for k in group[0]
+        }
+        if self.uses_rng_in_loss:
+            # same sequential key derivation as the per-batch loop
+            keys = jnp.stack([self.next_key() for _ in group])
+            self.params, self.opt_state, losses = self._fused_step(
+                self.params, self.opt_state, stacked, keys
+            )
+        else:
+            self.params, self.opt_state, losses = self._fused_step(
+                self.params, self.opt_state, stacked
+            )
+        for i in range(len(group)):
+            n = n0 + i
+            if n % 50 == 0:
+                print(
+                    f"training: {epoch + 1} batch {n} "
+                    f"batch_loss: {float(losses[i]):.5f}"
+                )
+        return n0 + len(group)
 
     def _local_tables(self, ue, ie):
         """Eval tables must be process-local: the eval sweep partitions
@@ -253,9 +326,32 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
         self.timer(start=True)
         start_epoch = self._try_resume()
         epoch = start_epoch - 1
+        fused_k = self._use_fused()
         for epoch in range(start_epoch, self.max_epoch):
             self.epoch_hook(epoch)
-            for n, batch in enumerate(self.batches()):
+            if fused_k:
+                n, group = 0, []
+                for batch in self.batches():
+                    group.append(batch)
+                    if len(group) == fused_k:
+                        n = self._run_fused_group(group, epoch, n)
+                        group = []
+                for batch in group:  # tail < K: per-batch steps
+                    if self.uses_rng_in_loss:
+                        self.params, self.opt_state, loss = self._step(
+                            self.params, self.opt_state, batch, self.next_key()
+                        )
+                    else:
+                        self.params, self.opt_state, loss = self._step(
+                            self.params, self.opt_state, batch
+                        )
+                    if n % 50 == 0:
+                        print(
+                            f"training: {epoch + 1} batch {n} "
+                            f"batch_loss: {float(loss):.5f}"
+                        )
+                    n += 1
+            for n, batch in enumerate(() if fused_k else self.batches()):
                 batch = self._place_batch(batch)
                 if self.stateful:
                     extra = (self.next_key(),) if self.uses_rng_in_loss else ()
