@@ -39,6 +39,12 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
     # _setup_mesh) still run the single-device path
     mesh = None
     _batch_sharding = None
+    # set True only by the DEFAULT stateless setup_optimizer below:
+    # --fused_steps replays self.loss_fn + self.optimizer inside a scan,
+    # so models with custom optimizer structures (VBPR/MTPR multi-opt,
+    # CGRC/FSGNN/ALDI/M2VAE bespoke steps) must keep the per-batch loop
+    # even when the flag is passed
+    _fused_ok = False
 
     # ------------------------------------------------------------- sharding
     def _setup_mesh(self):
@@ -157,6 +163,7 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
             self.user_emb, self.item_emb = self._local_tables(
                 *self._forward_jit(self.params)
             )
+            self._fused_ok = True  # default stateless step structure
         self.best_user_emb, self.best_item_emb = self.user_emb, self.item_emb
         self._score_fn = None
         self._fused_step = None
@@ -175,6 +182,7 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
         k = int(getattr(self.args, "fused_steps", 0) or 0)
         if (
             k > 1
+            and self._fused_ok
             and not self.stateful
             and self._batch_sharding is None
             and jax.process_count() == 1

@@ -60,3 +60,22 @@ def test_fused_k_larger_than_epoch(data):
         rtol=1e-5, atol=1e-6,
     )
     assert base.overall_test_results == fused.overall_test_results
+
+
+def test_custom_optimizer_models_ignore_fused_flag(data):
+    """Models with bespoke optimizer structures (VBPR: torch-exact Adagrad
+    on tables + Adam on W, two update streams) must keep the per-batch
+    loop even when --fused_steps is passed — the fused scan replays the
+    DEFAULT loss_fn+optimizer step, which is not their step."""
+    import tempfile
+    emb_dir = tempfile.mkdtemp()
+    bb = default_args(model="MF", dataset="synth", epochs=2, bs=256,
+                      emb_size=16, early_stop=5, emb_dir=emb_dir, seed=3)
+    model_factory(Config(bb, data)).run()
+    args = default_args(model="VBPR", dataset="synth", epochs=1, bs=256,
+                        emb_size=16, early_stop=5, emb_dir=emb_dir, seed=5,
+                        save_emb=False, fused_steps=8)
+    m = model_factory(Config(args, data))
+    assert m._use_fused() == 0  # gated off by _fused_ok
+    m.run()  # and the run still completes through the per-batch loop
+    assert m.overall_test_results is not None
