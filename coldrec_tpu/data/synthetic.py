@@ -37,6 +37,113 @@ def synthetic_interactions(
     return np.concatenate([pairs, extra_u, extra_i]).astype(np.int64)
 
 
+def latent_interactions(
+    n_users: int,
+    n_items: int,
+    nnz: int,
+    seed: int = 0,
+    rank: int = 16,
+    alpha: float = 3.0,
+    pop_exponent: float = 1.0,
+    degree_a: float = 1.6,
+    min_degree: int = 5,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Latent-factor interaction sampler producing EXACTLY ``nnz`` unique pairs.
+
+    Used for the faithful-statistics parity tiers (mlfull/xing): the plain
+    zipf sampler in :func:`synthetic_interactions` loses a large, popularity-
+    dependent fraction of draws to (user, item) dedup, so a tier that must
+    match a real dataset's published interaction count (e.g. MovieLens-1M's
+    1,000,209 — reference data/README.md:8) cannot hit it. Here each user u
+    draws ``deg_u`` items *without replacement* from a softmax preference
+    distribution ``alpha * (U_u . V_i) + pop_i`` via Gumbel top-k, with
+    power-law user degrees summing exactly to ``nnz``.
+
+    Crucially the item latent factors ``V`` are returned so content can be
+    generated as a (noisy linear) view of them — making cold-start metrics
+    carry REAL signal instead of being draws from the random-ranking null
+    (the round-3 weakness of the independent-content generator: every cold
+    cell was noise-dominated, see tools/cold_noise_analysis.py).
+
+    Returns ``(pairs, user_factors, item_factors)``.
+    """
+    rng = np.random.default_rng(seed)
+    uf = (rng.standard_normal((n_users, rank)) / np.sqrt(rank)).astype(np.float32)
+    vf = (rng.standard_normal((n_items, rank)) / np.sqrt(rank)).astype(np.float32)
+    # zipf-like popularity logit assigned to a random item permutation
+    pop = (-pop_exponent * np.log(rng.permutation(n_items) + 1.0)).astype(
+        np.float32
+    )
+
+    # ---- per-user degrees: pareto-ish, exact-sum nnz ----
+    cap = min(n_items, max(min_degree + 1, int(0.6 * n_items)))
+    w = rng.pareto(degree_a, n_users) + 1.0
+    deg = np.clip(
+        np.floor(w / w.sum() * nnz).astype(np.int64), min_degree, cap
+    )
+    diff = int(nnz - deg.sum())
+    while diff != 0:
+        if diff > 0:
+            room = np.flatnonzero(deg < cap)
+            take = rng.choice(room, size=min(diff, room.size), replace=False)
+            deg[take] += 1
+            diff -= take.size
+        else:
+            rich = np.flatnonzero(deg > min_degree)
+            take = rng.choice(rich, size=min(-diff, rich.size), replace=False)
+            deg[take] -= 1
+            diff += take.size
+
+    offsets = np.concatenate([[0], np.cumsum(deg)])
+    users_out = np.repeat(np.arange(n_users, dtype=np.int64), deg)
+    items_out = np.empty(int(deg.sum()), dtype=np.int64)
+    # chunk the (users, items) logit plane to bound memory at xing scale
+    chunk = max(1, int(2**26) // n_items)
+    for s in range(0, n_users, chunk):
+        e = min(n_users, s + chunk)
+        logits = alpha * (uf[s:e] @ vf.T) + pop[None, :]
+        logits += rng.gumbel(size=logits.shape).astype(np.float32)
+        kmax = int(deg[s:e].max())
+        top = np.argpartition(-logits, kmax - 1, axis=1)[:, :kmax]
+        tl = np.take_along_axis(logits, top, axis=1)
+        order = np.argsort(-tl, axis=1)
+        top = np.take_along_axis(top, order, axis=1)
+        for j in range(e - s):
+            u = s + j
+            items_out[offsets[u]: offsets[u + 1]] = top[j, : deg[u]]
+
+    # item coverage within the exact budget: each missing item replaces the
+    # lowest-ranked pick of a distinct heavy user (the missing item was
+    # picked by no one, so no within-user duplicate can appear)
+    counts = np.bincount(items_out, minlength=n_items)
+    missing = np.flatnonzero(counts == 0)
+    if missing.size:
+        donors = rng.choice(
+            np.flatnonzero(deg > min_degree), size=missing.size, replace=False
+        )
+        items_out[offsets[donors + 1] - 1] = missing
+    pairs = np.stack([users_out, items_out], axis=1)
+    return pairs, uf, vf
+
+
+def latent_content(
+    factors: np.ndarray,
+    content_dim: int,
+    seed: int = 0,
+    noise: float = 0.7,
+) -> np.ndarray:
+    """Content matrix as a noisy random linear lift of latent factors.
+
+    Entry variance of the signal term is ~1 (factor rows have unit norm in
+    expectation), so ``noise`` is the noise-to-signal std ratio.
+    """
+    rng = np.random.default_rng(seed)
+    rank = factors.shape[1]
+    m = rng.standard_normal((rank, content_dim)).astype(np.float32)
+    base = factors @ m
+    return (base + noise * rng.standard_normal(base.shape)).astype(np.float32)
+
+
 def synthetic_dataset(
     n_users: int = 200,
     n_items: int = 120,

@@ -296,6 +296,32 @@ class CGRC(ColdStartModelBase):
         lse = m + jnp.log(jnp.maximum(s, 1e-38))
         return pos, lse, has_valid
 
+    # ------------------------------------------------------- loss reductions
+    # factored so the torch-oracle tests exercise the SAME reduction code
+    # loss_fn uses (tests/test_cgrc_torch_oracle.py) — a regression in the
+    # weighted-mean reductions cannot pass the oracle unnoticed
+    def _reconstruction_reduce(self, pos, lse, cold_ind, has_valid):
+        """L_E reduction (Eq. 6, CGRC.py:206-256): masked-edge-indicator
+        weighted mean of -(pos_logit - logsumexp)."""
+        e_w = cold_ind * has_valid.astype(jnp.float32)
+        return jnp.sum(-(pos - lse) * e_w) / jnp.maximum(jnp.sum(e_w), 1.0)
+
+    def _ranking_loss(self, z_u, z_i, users, b_items, weight):
+        """L_R (Eq. 8, CGRC.py:258-287): temperature contrastive over the
+        shared item set B; the first ``len(users)`` entries of ``b_items``
+        are the aligned positives; rows with no un-rated candidate drop."""
+        bs = users.shape[0]
+        sim = (z_u[users] @ z_i[b_items].T) / self.tau  # (B, L)
+        not_rated = ~self._rated_mask(
+            users, jnp.broadcast_to(b_items, (bs, b_items.shape[0]))
+        )
+        le_row = jax.nn.logsumexp(
+            jnp.where(not_rated, sim, jnp.finfo(sim.dtype).min), axis=1
+        )
+        pos_s = jnp.diag(sim[:, :bs])
+        w = weight * jnp.any(not_rated, axis=1)
+        return jnp.sum(-(pos_s - le_row) * w) / jnp.maximum(jnp.sum(w), 1.0)
+
     # ----------------------------------------------------------------- loss
     def loss_fn(self, params, batch, key):
         n_i = self.data.item_num
@@ -318,27 +344,18 @@ class CGRC(ColdStartModelBase):
         pos, lse, has_valid = self._edge_softmax_terms(
             params, h_u_bar[e_u], e_u, e_i, x_all, cold_mask
         )
-        e_w = e_w * has_valid.astype(jnp.float32)
-        loss_e = jnp.sum(-(pos - lse) * e_w) / jnp.maximum(jnp.sum(e_w), 1.0)
+        loss_e = self._reconstruction_reduce(pos, lse, e_w, has_valid)
 
         # --- L_R: contrastive over shared batch item set B ---
         z_u, z_i = self._lightgcn_full(
             self.full_graph, params["user_emb"], x_all, self.Lf
         )
-        bs = batch["user"].shape[0]
         n_extra = self.ranking_neg * 8
         extra = jax.random.randint(k3, (n_extra,), 0, n_i)
         b_items = jnp.concatenate([batch["pos_item"], extra])  # (L,)
-        sim = (z_u[batch["user"]] @ z_i[b_items].T) / self.tau  # (B, L)
-        not_rated = ~self._rated_mask(
-            batch["user"], jnp.broadcast_to(b_items, (bs, b_items.shape[0]))
+        loss_r = self._ranking_loss(
+            z_u, z_i, batch["user"], b_items, batch["weight"]
         )
-        le_row = jax.nn.logsumexp(
-            jnp.where(not_rated, sim, jnp.finfo(sim.dtype).min), axis=1
-        )
-        pos_s = jnp.diag(sim[:, :bs])
-        w = batch["weight"] * jnp.any(not_rated, axis=1)
-        loss_r = jnp.sum(-(pos_s - le_row) * w) / jnp.maximum(jnp.sum(w), 1.0)
 
         reg = l2_reg_loss(
             self.reg,

@@ -155,20 +155,12 @@ def test_ranking_loss_matches(both):
             u.tolist(), pos.tolist(), b_items.tolist(),
         )
 
-    # our loss_fn's L_R block (models/cgrc.py::loss_fn) with b_items injected
-    bi = jnp.asarray(b_items)
-    sim = (z_u[jnp.asarray(u)] @ z_i[bi].T) / ours.tau
-    not_rated = ~ours._rated_mask(
-        jnp.asarray(u), jnp.broadcast_to(bi, (b, bi.shape[0]))
+    # the SAME L_R reduction loss_fn calls (models/cgrc.py::_ranking_loss),
+    # with b_items injected
+    j_loss = ours._ranking_loss(
+        z_u, z_i, jnp.asarray(u), jnp.asarray(b_items),
+        jnp.ones(b, jnp.float32),
     )
-    import jax
-
-    le_row = jax.nn.logsumexp(
-        jnp.where(not_rated, sim, jnp.finfo(sim.dtype).min), axis=1
-    )
-    pos_s = jnp.diag(sim[:, :b])
-    w = jnp.any(not_rated, axis=1).astype(jnp.float32)
-    j_loss = jnp.sum(-(pos_s - le_row) * w) / jnp.maximum(jnp.sum(w), 1.0)
     np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=2e-5)
 
 
@@ -233,6 +225,8 @@ def test_reconstruction_loss_matches(both):
     pos, lse, has_valid = ours._edge_softmax_terms(
         ours.params, j_h_u_bar[e_u], e_u, e_i, x_all, cold_mask
     )
-    e_w = cold_mask[e_i].astype(jnp.float32) * has_valid.astype(jnp.float32)
-    j_loss = jnp.sum(-(pos - lse) * e_w) / jnp.maximum(jnp.sum(e_w), 1.0)
+    # the SAME L_E reduction loss_fn calls (_reconstruction_reduce)
+    j_loss = ours._reconstruction_reduce(
+        pos, lse, cold_mask[e_i].astype(jnp.float32), has_valid
+    )
     np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=2e-5)

@@ -173,6 +173,31 @@ def test_full_loss_matches(both, monkeypatch):
     np.testing.assert_allclose(float(j_loss), float(t_loss.detach()), rtol=5e-5)
 
 
+def _advance_bn(ref, data, monkeypatch):
+    """One reference train-mode forward so the BN running buffers hold
+    non-trivial statistics — deterministic regardless of which tests ran
+    before (a -k selection of the eval test alone would otherwise compare
+    under the init buffers: mean 0, var 1)."""
+    import torch
+
+    rng = np.random.default_rng(29)
+    b = 24
+    monkeypatch.setattr(
+        torch, "randn_like",
+        _RandnQueue([rng.standard_normal((b, D)).astype(np.float32)
+                     for _ in range(4)]),
+    )
+    ref.train()
+    ref.loss(
+        u_idx=torch.tensor(rng.integers(0, data.user_num, b)),
+        i_idx=torch.tensor(rng.integers(0, data.item_num, b)),
+        neg_u_idx=torch.tensor(rng.integers(0, data.user_num, b)),
+        pos_i_list=torch.tensor(rng.integers(0, data.item_num, (b, P))),
+        neg_i_list=torch.tensor(rng.integers(0, data.item_num, (b, P, N))),
+    )
+    monkeypatch.undo()
+
+
 def test_eval_tables_match(both, monkeypatch):
     import jax
     import jax.numpy as jnp
@@ -181,9 +206,10 @@ def test_eval_tables_match(both, monkeypatch):
     ref, ours, data = both
     cold = np.asarray(data.mapped_cold_item_idx)
 
-    # the loss test above ran the reference in train mode, advancing its BN
-    # running stats — sync our eval state from the reference buffers so the
-    # comparison exercises eval-mode BN under non-trivial statistics.
+    # advance the reference BN running stats deterministically, then sync
+    # our eval state from the reference buffers so the comparison exercises
+    # eval-mode BN under non-trivial statistics.
+    _advance_bn(ref, data, monkeypatch)
     def bn_state(seq):
         return {
             "mean": jnp.asarray(seq[1].running_mean.detach().numpy()),

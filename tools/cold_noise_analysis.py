@@ -126,8 +126,9 @@ def main():
         f"[null] scale={args.scale} cold-test: {es.n_users} users, "
         f"{es.n_interactions} pairs, {n_cold} distinct cold items"
     )
+    cdim = SCALES[args.scale]["content_dim"]
     null = simulate_null(
-        data, args.topn, args.trials, SCALES[args.scale]["content_dim"]
+        data, args.topn, args.trials, 64 if isinstance(cdim, dict) else cdim
     )
     corr = simulate_correlated_null(
         data, root, args.topn, args.trials, args.train_epochs
