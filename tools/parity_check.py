@@ -363,6 +363,11 @@ def main():
     p.add_argument("--backbone", default="MF")
     p.add_argument("--keep", action="store_true")
     p.add_argument(
+        "--eval_every", type=int, default=1,
+        help="evaluate every N epochs on BOTH sides (protocol-identical; "
+        "cuts the per-epoch eval cost at the faithful-statistics tiers)",
+    )
+    p.add_argument(
         "--shared_backbone", action="store_true",
         help="convert the reference's trained backbone (.pt) into our npz "
         "bus so BOTH sides consume the same artifact — removes backbone-"
@@ -375,6 +380,8 @@ def main():
     print(f"sandbox: {root}")
     build_dataset(root, args.scale, cold_object=args.cold_object)
     co, bb = args.cold_object, args.backbone
+    ref_extra = ("--eval_every", str(args.eval_every))
+    our_extra = {"eval_every": args.eval_every}
     if args.model not in ("MF", "LightGCN", "NGCF", "SimGCL", "XSimGCL",
                           "NCL", "KNN", "DUIF", "FSGNN", "CGRC"):
         # cold models load the backbone from each framework's own bus:
@@ -404,15 +411,16 @@ def main():
         run_reference(root, "VBPR", args.epochs, 1, cold_object=co, backbone=bb)
         run_ours(root, "VBPR", args.epochs, 1, cold_object=co, backbone=bb)
     ref = run_reference(root, args.model, args.epochs, args.runs,
-                        cold_object=co, backbone=bb)
+                        cold_object=co, backbone=bb, extra=ref_extra)
     ours = run_ours(root, args.model, args.epochs, args.runs,
-                    cold_object=co, backbone=bb)
+                    cold_object=co, backbone=bb, extra_args=our_extra)
     verdict = compare(
         ref, ours, runs=args.runs,
         noise_band=_cold_noise_band(args.scale, args.cold_object, args.runs),
     )
     verdict["scale"] = args.scale
     verdict["epochs"] = args.epochs
+    verdict["eval_every"] = args.eval_every
     verdict["shared_backbone"] = bool(args.shared_backbone)
     # the xing tier is a shape spot-check, not the artifact of record —
     # keep it in its own file so it never overwrites the ml/mlfull artifact
