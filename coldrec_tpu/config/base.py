@@ -23,6 +23,9 @@ COMMON_DEFAULTS = dict(
     runs=1,
     seed=2024,
     save_emb=True,
+    # bus artifact format: npz (native) | pt (the reference's torch.save
+    # per-tensor layout, for interchange) | both
+    save_emb_format="npz",
     cold_object="item",
     backbone="MF",
     early_stop=10,

@@ -634,6 +634,7 @@ class USIM(ColdStartModelBase):
                     "user_emb": np.asarray(self.user_emb),
                     "item_emb": np.asarray(self.item_emb),
                 },
+                fmt=getattr(self.args, "save_emb_format", "npz"),
             )
 
     _infer_blk = 4096  # rollout chunk width (class attr for tests)

@@ -420,6 +420,7 @@ class WarmBackboneTrainer(BaseColdStartTrainer):
                 self.args.cold_object,
                 self.model_name,
                 tensors,
+                fmt=getattr(self.args, "save_emb_format", "npz"),
             )
 
     def save(self):
