@@ -27,9 +27,14 @@ Prints ONE JSON line with the headline + secondary fields.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _stage(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 DIM = 64
 TOP_K = 20
@@ -40,7 +45,11 @@ ML_USERS = 6040
 ML_ITEMS = 3706
 REPEATS = 5
 
-BF16_PEAK_TFLOPS = 394.0  # TPU v5e MXU peak (headline chip spec)
+# TPU v5e ("TPU v5 lite" per device_kind) public chip specs. Round 3 used
+# 394 TFLOPS as the denominator — that is the INT8 figure; bf16 peak is
+# 197 TFLOPS, so the reported MFU was understated 2x.
+BF16_PEAK_TFLOPS = 197.0
+HBM_PEAK_GBPS = 819.0
 
 
 def _make_problem(n_users, n_items, seed=0):
@@ -156,15 +165,169 @@ def bench_xla_sweep(user_emb, item_emb, rated, excluded) -> float:
     return n_iter * pad * n_items / best
 
 
+def bench_mf_train_step(n_iter=64, bs=4096):
+    """Fused MF training-step time at book-crossing table shapes.
+
+    The production step structure (models/mf.py::loss_fn + common.adam +
+    the --fused_steps lax.scan form, tools/exp_fused_steps.py): K steps
+    chained through the params inside ONE jit dispatch, so the number is
+    pure serialized device time. Returns (ms_per_step, trained_pairs_per_s).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from coldrec_tpu.models.common import adam, xavier_uniform
+    from coldrec_tpu.ops.losses import bpr_loss, l2_reg_loss
+
+    n_users, n_items, reg = 92107, 270170, 1e-4
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "user_emb": xavier_uniform(k1, (n_users, DIM)),
+        "item_emb": xavier_uniform(k2, (n_items, DIM)),
+    }
+    optimizer = adam(1e-3)
+    opt_state = optimizer.init(params)
+    rng = np.random.default_rng(3)
+    batches = {
+        "user": jnp.asarray(
+            rng.integers(0, n_users, (n_iter, bs), dtype=np.int32)
+        ),
+        "pos_item": jnp.asarray(
+            rng.integers(0, n_items, (n_iter, bs), dtype=np.int32)
+        ),
+        "neg_item": jnp.asarray(
+            rng.integers(0, n_items, (n_iter, bs), dtype=np.int32)
+        ),
+        "weight": jnp.ones((n_iter, bs), jnp.float32),
+    }
+
+    def loss_fn(params, batch):
+        u = params["user_emb"][batch["user"]]
+        pos = params["item_emb"][batch["pos_item"]]
+        neg = params["item_emb"][batch["neg_item"]]
+        w = batch["weight"]
+        return bpr_loss(u, pos, neg, w) + l2_reg_loss(reg, u, pos, neg, weight=w)
+
+    @jax.jit
+    def fused(params, opt_state, bs_):
+        def body(carry, b):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, b)
+            updates, o = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), bs_
+        )
+        return params, opt_state, losses
+
+    jax.block_until_ready(fused(params, opt_state, batches))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fused(params, opt_state, batches))
+        best = min(best, time.perf_counter() - t0)
+    return best / n_iter * 1e3, n_iter * bs / best
+
+
+def bench_spmm_roofline(n=346112, k=24, n_iter=20):
+    """LightGCN ELL SpMM step at the book-crossing slab + an HBM roofline
+    with MEASURED in-situ denominators:
+
+      * stream ceiling — contiguous read+write (y = x + 1) on a 1 GB array;
+      * gather ceiling — random row gather x[idx] at the SAME row
+        granularity (d=64 rows, 256 B) the SpMM pays.
+
+    achieved/gather-ceiling ~ 1 proves the "SpMM is gather-bound" claim
+    with a denominator (round-3 VERDICT weak #3); achieved/stream is the
+    classic roofline fraction.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from coldrec_tpu.ops.spmm import EllGraph, spmm
+
+    rng = np.random.default_rng(1)
+    deg = np.minimum(rng.zipf(1.7, n) + 4, k).astype(np.int32)
+    cols = np.zeros((n, k), np.int32)
+    vals = np.zeros((n, k), np.float32)
+    for s in range(0, n, 65536):
+        e = min(s + 65536, n)
+        c = rng.integers(0, n, (e - s, k), dtype=np.int32)
+        m = np.arange(k)[None, :] < deg[s:e, None]
+        cols[s:e] = np.where(m, c, 0)
+        vals[s:e] = np.where(m, 1.0 / np.maximum(deg[s:e, None], 1), 0.0)
+    graph = EllGraph(
+        ell_cols=jnp.asarray(cols), ell_vals=jnp.asarray(vals),
+        tail_rows=jnp.zeros(0, jnp.int32), tail_cols=jnp.zeros(0, jnp.int32),
+        tail_vals=jnp.zeros(0, jnp.float32), n_rows=n,
+    )
+    x = jnp.asarray(rng.standard_normal((n, DIM)).astype(np.float32))
+
+    def chain(fn, arg, iters):
+        @jax.jit
+        def run(a):
+            def body(a, _):
+                return fn(a), None
+
+            a, _ = jax.lax.scan(body, a, None, length=iters)
+            return a
+
+        jax.block_until_ready(run(arg))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(arg))
+            best = min(best, time.perf_counter() - t0)
+        return best / iters
+
+    t_spmm = chain(lambda a: spmm(graph, a) * (1.0 + 1e-38), x, n_iter)
+    # bytes per apply: gather reads (n*k rows of d fp32) + cols + vals + out
+    spmm_bytes = n * k * DIM * 4 + n * k * 8 + n * DIM * 4
+    spmm_gbps = spmm_bytes / t_spmm / 1e9
+
+    # 256 MB: big enough to defeat caches, small enough that the one-time
+    # host->device upload over the remote tunnel stays in seconds
+    big = jnp.asarray(rng.standard_normal(1 << 26).astype(np.float32))
+    t_stream = chain(lambda a: a + 1.0, big, 8)
+    stream_gbps = 2 * big.size * 4 / t_stream / 1e9
+
+    idx = jnp.asarray(rng.integers(0, n, n * k, dtype=np.int32))
+
+    def gather(a):
+        g = a[idx]  # (n*k, d) random row gather, 256 B granularity
+        return a + 1e-38 * g[0]
+
+    t_gather = chain(gather, x, 4)
+    gather_bytes = idx.size * (DIM * 4 + 4) + idx.size * DIM * 4
+    gather_gbps = gather_bytes / t_gather / 1e9
+    return {
+        "lightgcn_ell_spmm_ms_bc": round(t_spmm * 1e3, 3),
+        "spmm_achieved_gbps": round(spmm_gbps, 1),
+        "stream_gbps_measured": round(stream_gbps, 1),
+        "gather_gbps_measured": round(gather_gbps, 1),
+        "spmm_vs_stream_ceiling": round(spmm_gbps / stream_gbps, 3),
+        "spmm_vs_gather_ceiling": round(gather_gbps and spmm_gbps / gather_gbps, 3),
+        "hbm_peak_gbps": HBM_PEAK_GBPS,
+    }
+
+
 def bench_torch_baseline(user_emb, item_emb, rated, excluded,
-                         n_bench_users=2048) -> float:
+                         n_bench_users=2048):
     """The reference's eval path (torch matmul + masking + topk) on host
     CPU — best of 3 (best-case favours the baseline, keeping the reported
-    ratio conservative)."""
+    ratio conservative). Affinity pinned to all host cores so background
+    load placement does not silently shrink the baseline's core set;
+    returns (best, std_across_reps) so vs_baseline carries an error bar."""
     import os
 
     import torch
 
+    try:
+        os.sched_setaffinity(0, range(os.cpu_count() or 4))
+    except (AttributeError, OSError):
+        pass
     torch.set_num_threads(os.cpu_count() or 4)
     n_users, n_items = user_emb.shape[0], item_emb.shape[0]
     batch = 512
@@ -184,29 +347,42 @@ def bench_torch_baseline(user_emb, item_emb, rated, excluded,
         torch.topk(sc, TOP_K, dim=1)
 
     sweep_chunk(0)  # warmup
-    best = float("inf")
+    times = []
     for _ in range(3):
         t0 = time.perf_counter()
         done = 0
         while done < n_bench_users:
             sweep_chunk(done)
             done += batch
-        best = min(best, time.perf_counter() - t0)
-    return done * n_items / best
+        times.append(time.perf_counter() - t0)
+    pps = [done * n_items / t for t in times]
+    return max(pps), float(np.std(pps))
 
 
 def main():
+    import jax
+
     bc = _make_problem(BC_USERS, BC_ITEMS)
     ml = _make_problem(ML_USERS, ML_ITEMS, seed=1)
 
+    _stage("pallas sweep (book-crossing)")
     bc_pps, bc_e2e_pps = bench_pallas_sweep(*bc)
+    _stage("pallas sweep (movielens)")
     ml_pps, _ = bench_pallas_sweep(*ml)
+    _stage("xla sweep (movielens)")
     ml_xla_pps = bench_xla_sweep(*ml)
+    _stage("mf fused train step")
+    mf_step_ms, mf_train_pps = bench_mf_train_step()
+    _stage("spmm roofline")
+    roofline = bench_spmm_roofline()
+    _stage("torch baseline")
     try:
-        torch_pps = bench_torch_baseline(*bc)
+        torch_pps, torch_std = bench_torch_baseline(*bc)
         ratio = bc_pps / torch_pps
+        baseline_std_frac = torch_std / torch_pps
     except Exception:
         ratio = float("nan")
+        baseline_std_frac = float("nan")
 
     # pairs/s -> matmul FLOP/s (2*d FLOP per scored pair)
     util = bc_pps * 2 * DIM / (BF16_PEAK_TFLOPS * 1e12)
@@ -217,6 +393,7 @@ def main():
                 "value": round(bc_pps, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(ratio, 3),
+                "baseline_std_frac": round(baseline_std_frac, 4),
                 "e2e_incl_remote_dispatch_pairs_per_sec": round(
                     bc_e2e_pps, 1
                 ),
@@ -225,9 +402,15 @@ def main():
                     ml_xla_pps, 1
                 ),
                 "matmul_flop_utilization_vs_bf16_peak": round(util, 4),
+                "bf16_peak_tflops": BF16_PEAK_TFLOPS,
+                "mf_fused_train_step_ms": round(mf_step_ms, 3),
+                "mf_train_pairs_per_sec": round(mf_train_pps, 1),
+                **roofline,
+                "device_kind": jax.devices()[0].device_kind,
                 "baseline_caveat": (
                     "baseline = PyTorch reference eval path on the 4-core "
-                    "host CPU (only reference implementation in-image)"
+                    "host CPU (only reference implementation in-image), "
+                    "affinity-pinned, best of 3 with std"
                 ),
             }
         )

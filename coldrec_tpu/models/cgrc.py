@@ -452,6 +452,7 @@ class CGRC(ColdStartModelBase):
         # so it must not be jitted — replicate the base wiring without it.
         from .common import adam, make_train_step
 
+        self._setup_mesh()  # --mesh DxM: user_emb row-sharded, MLPs replicated
         self.optimizer = adam(self.lr)
         self.opt_state = self.optimizer.init(self.params)
         self._step = make_train_step(self.loss_fn, self.optimizer)

@@ -145,10 +145,15 @@ class ShardedGraph:
             C[s, : idx.size] = cols[idx]
             V[s, : idx.size] = vals[idx]
             R[s, idx.size :] = s * self.rows_per_shard  # no-op rows (val 0)
+        from .distributed import host_to_global
+
+        # host_to_global, NOT device_put: under a multi-process group each
+        # process can only materialize its addressable shards (the same
+        # round-2 defect fixed in warm_base._setup_mesh)
         sh = NamedSharding(mesh, P(AXIS_MODEL, None))
-        self.rows_s = jax.device_put(jnp.asarray(R), sh)
-        self.cols_s = jax.device_put(jnp.asarray(C), sh)
-        self.vals_s = jax.device_put(jnp.asarray(V), sh)
+        self.rows_s = host_to_global(R, sh)
+        self.cols_s = host_to_global(C, sh)
+        self.vals_s = host_to_global(V, sh)
 
 
 def sharded_spmm(graph: ShardedGraph, x: jnp.ndarray) -> jnp.ndarray:

@@ -52,14 +52,14 @@ def _write_dataset(root: str):
     return ddir
 
 
-def _main_cmd(ddir: str, result_file: str) -> list:
+def _main_cmd(ddir: str, result_file: str, model="MF", epochs=3, extra=()) -> list:
     return [
         sys.executable, os.path.join(REPO, "main.py"),
-        "--model", "MF", "--dataset", "demo", "--cold_object", "item",
-        "--data_dir", ddir, "--epochs", "3", "--bs", "256",
+        "--model", model, "--dataset", "demo", "--cold_object", "item",
+        "--data_dir", ddir, "--epochs", str(epochs), "--bs", "256",
         "--emb_size", "16", "--seed", "11", "--runs", "1",
         "--save_emb", "false", "--result_file", result_file,
-        "--result_overwrite", "true",
+        "--result_overwrite", "true", *extra,
     ]
 
 
@@ -130,3 +130,98 @@ def test_two_process_run_matches_single_process(tmp_path):
 
     # the run really was multi-process: each process saw 4 global devices
     assert "Start round 0 running!" in outs[0]
+
+
+def _run_two_proc(ddir, cwd, files, model, epochs, extra=()):
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env_extra = {
+            "COLDREC_COORDINATOR": f"localhost:{port}",
+            "COLDREC_NUM_PROCESSES": "2",
+            "COLDREC_PROCESS_ID": str(pid),
+        }
+        procs.append(
+            subprocess.Popen(
+                _main_cmd(ddir, files[pid], model, epochs, extra),
+                env=_env(2, env_extra), cwd=cwd, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    return outs
+
+
+def _assert_metrics_match(a, b, tol=1e-9):
+    for tn in a:
+        for setting in a[tn]:
+            for metric, v in a[tn][setting].items():
+                mv = b[tn][setting][metric]
+                assert abs(mv["mean"] - v["mean"]) < tol, (
+                    tn, setting, metric, v, mv,
+                )
+
+
+def test_lightgcn_sharded_spmm_two_processes(tmp_path):
+    """The --mesh 2x2 sharded-SpMM graph path across 2 REAL OS processes
+    (2 local devices each): model axis intra-process, data axis across the
+    process boundary; results equal the single-process run (round-4
+    VERDICT task 6a)."""
+    ddir = _write_dataset(str(tmp_path))
+    extra = ("--mesh", "2x2", "--layers", "2")
+
+    base_file = str(tmp_path / "base.txt")
+    r = subprocess.run(
+        _main_cmd(ddir, base_file, "LightGCN", 2, ("--layers", "2")),
+        env=_env(1), cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+
+    files = [str(tmp_path / f"lg{i}.txt") for i in range(2)]
+    _run_two_proc(ddir, str(tmp_path), files, "LightGCN", 2, extra)
+    assert os.path.isfile(files[0]) and not os.path.isfile(files[1])
+    _assert_metrics_match(
+        _json_payload(base_file)["metrics"],
+        _json_payload(files[0])["metrics"],
+        tol=1e-6,  # sharded-SpMM reduction order differs from the ELL path
+    )
+
+
+def test_bus_handoff_two_processes(tmp_path):
+    """MF backbone -> DropoutNet over the emb bus with BOTH stages running
+    as 2-process groups (round-4 VERDICT task 6b): rank 0 writes the npz,
+    the cold stage loads it in every process, and the final metrics equal
+    a single-process pipeline on the same dataset."""
+    ddir = _write_dataset(str(tmp_path))
+    emb = str(tmp_path / "emb")
+    extra_bb = ("--save_emb", "true", "--emb_dir", emb)
+    extra_cold = ("--emb_dir", emb)
+
+    # single-process pipeline baseline
+    b1, b2 = str(tmp_path / "b_mf.txt"), str(tmp_path / "b_dn.txt")
+    for model, rf, ex in (("MF", b1, extra_bb), ("DropoutNet", b2, extra_cold)):
+        r = subprocess.run(
+            _main_cmd(ddir, rf, model, 2, ex), env=_env(1),
+            cwd=str(tmp_path), capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    bus = os.path.join(emb, "demo_cold_item_MF_emb.npz")
+    assert os.path.isfile(bus)
+    base = _json_payload(b2)["metrics"]
+    os.remove(bus)  # the multi-process backbone must rewrite it
+
+    files_mf = [str(tmp_path / f"mf{i}.txt") for i in range(2)]
+    _run_two_proc(ddir, str(tmp_path), files_mf, "MF", 2, extra_bb)
+    assert os.path.isfile(bus), "rank 0 did not write the bus artifact"
+
+    files_dn = [str(tmp_path / f"dn{i}.txt") for i in range(2)]
+    _run_two_proc(ddir, str(tmp_path), files_dn, "DropoutNet", 2, extra_cold)
+    assert os.path.isfile(files_dn[0]) and not os.path.isfile(files_dn[1])
+    # two compounding stages of DP reduction-order drift (backbone psum +
+    # BatchNorm batch stats) move a metric by ~1e-4 over 2 epochs; the
+    # contract here is the pipeline, not bitwise equality (that is pinned
+    # single-process in test_mesh_training.py)
+    _assert_metrics_match(base, _json_payload(files_dn[0])["metrics"], tol=2e-3)
