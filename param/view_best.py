@@ -13,7 +13,17 @@ if __name__ == "__main__":
     with open(path, "rb") as f:
         best = pickle.load(f)
     print(f"Best params from {path}:")
+    # the pkl is the BARE params dict (reference contract); older runs of
+    # this framework wrapped it as {"best_params": ..., "best_value": ...}
     for k, v in best.get("best_params", best).items() if isinstance(best, dict) else []:
         print(f"  {k}: {v}")
     if isinstance(best, dict) and "best_value" in best:
         print(f"  (objective value: {best['best_value']})")
+    else:
+        import json
+        import os
+
+        sidecar = path[:-4] + ".value.json"
+        if os.path.exists(sidecar):
+            v = json.load(open(sidecar))["best_value"]
+            print(f"  (objective value: {v})")

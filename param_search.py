@@ -13,6 +13,7 @@ optuna, and the framework gates instead of installing.
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 import os
@@ -261,10 +262,20 @@ def search_result_slug(args) -> str:
 
 
 def _save_best(args, best_params, best_value, param_dir="./param"):
+    """Refresh ``./param/<slug>.pkl`` with the best completed trial's params.
+
+    Payload is the BARE params dict — byte-compatible with the reference's
+    ``pickle.dump(study.best_params)`` contract (param_search.py:29-37), so
+    pkl files interchange between the frameworks; the objective value goes
+    in a sidecar ``<slug>.value.json`` instead (param/view_best.py shows it
+    when present).
+    """
     os.makedirs(param_dir, exist_ok=True)
     path = os.path.join(param_dir, f"{search_result_slug(args)}.pkl")
     with open(path, "wb") as f:
-        pickle.dump({"best_value": best_value, "best_params": best_params}, f)
+        pickle.dump(dict(best_params), f)
+    with open(path[:-4] + ".value.json", "w") as f:
+        json.dump({"best_value": best_value}, f)
     return path
 
 
@@ -291,7 +302,12 @@ def random_search(args, n_trials: int, param_dir="./param") -> dict:
     best = max(done, key=lambda r: r["value"], default=None)
     start = len(done)
     for t in range(start, n_trials):
-        rng = random.Random(hash((search_result_slug(args), t)) & 0xFFFFFFFF)
+        # stable digest, NOT hash(): python string hashing is salted per
+        # process, which would make searches irreproducible across runs
+        digest = hashlib.sha256(
+            f"{search_result_slug(args)}:{t}".encode()
+        ).digest()
+        rng = random.Random(int.from_bytes(digest[:8], "little"))
         finished = [r for r in done if r["value"] != float("-inf")]
         if len(finished) >= TPE_STARTUP_TRIALS:
             trial = TPETrial(rng, done)
