@@ -1,13 +1,23 @@
 """Serving-path latency microbenchmark (runtime/serving.RetrievalServer).
 
-Measures per-request latency of masked top-k retrieval at book-crossing
-scale (270,336 items, d=64, k=20) for online-serving batch sizes, through
-the same dependency-chained methodology as tools/ubench_retrieval.py
-(jitted lax.scan over N chained sweeps — no dispatch pipelining) plus the
-end-to-end single-request path (host→device→kernel→host, incl. this
-environment's remote-dispatch tunnel).
+Three modes (round-4 VERDICT task 8 added the last two):
+
+  * default — end-to-end per-request latency of ``RetrievalServer.topk`` at
+    book-crossing scale for online batch sizes (host→device→kernel→host,
+    INCLUDING this environment's ~100 ms remote-dispatch tunnel: the p50
+    floor here is the tunnel, not the server);
+  * ``--device_only`` — marginal DEVICE time per request: the serving
+    kernel sweep dependency-chained inside one jitted lax.scan (same
+    methodology as tools/ubench_retrieval.py), i.e. the number a
+    CO-LOCATED driver pays per request once dispatch is amortized;
+  * ``--bf16_ab [--emb <npz>]`` — fp32 vs bf16 serving A/B: chained
+    throughput for both paths plus ranked-list drift (users whose top-k id
+    list changes, and mean top-k overlap) measured on a real checkpoint-bus
+    artifact when ``--emb`` is given (score distributions of trained
+    tables, not gaussians, decide how often bf16 rounding reorders ranks).
 
 Usage: python tools/ubench_serving.py [--items 270336] [--iters 20]
+           [--device_only | --bf16_ab [--emb path/to/..._emb.npz]]
 """
 from __future__ import annotations
 
@@ -21,28 +31,47 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--items", type=int, default=270_336)
-    ap.add_argument("--users", type=int, default=92_107)
-    ap.add_argument("--d", type=int, default=64)
-    ap.add_argument("--k", type=int, default=20)
-    ap.add_argument("--iters", type=int, default=20)
-    args = ap.parse_args()
-
+def _chained_sweep_time(ue, ie, rated, excluded, k, bs, n_iter, bf16):
+    """Serving sweep (fused kernel + resolve) chained n_iter times in ONE
+    jit; returns seconds per sweep. Mirrors bench.py::bench_pallas_sweep."""
     import jax
+    import jax.numpy as jnp
 
-    from coldrec_tpu.runtime.serving import RetrievalServer
+    from coldrec_tpu.ops.pallas.retrieval import (
+        _round_up, _sweep_padded, default_block_i,
+    )
 
-    rng = np.random.default_rng(0)
-    ue = rng.standard_normal((args.users, args.d)).astype(np.float32)
-    ie = rng.standard_normal((args.items, args.d)).astype(np.float32)
-    srv = RetrievalServer(ue, ie)
-    print(f"platform={jax.devices()[0].platform} items={args.items} "
-          f"d={args.d} k={args.k}")
+    n_items = ie.shape[0]
+    block_i = default_block_i(n_items)
+    i_pad = _round_up(n_items, block_i)
+    b_pad = _round_up(bs, 256)
+    tile_u = min(256, b_pad)
 
+    @jax.jit
+    def chained(u):
+        def body(u, _):
+            vals, _, sus = _sweep_padded(
+                u, ie, rated, excluded, i_pad, b_pad, tile_u, block_i, k, bf16
+            )
+            dep = vals[:, :1] + sus[:, None].astype(u.dtype)
+            return u + 1e-38 * dep, None
+
+        u, _ = jax.lax.scan(body, u, None, length=n_iter)
+        return u
+
+    u = jnp.asarray(ue[:bs])
+    jax.block_until_ready(chained(u))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chained(u))
+        best = min(best, time.perf_counter() - t0)
+    return best / n_iter
+
+
+def run_e2e(srv, args, rng):
     for bs in (1, 16, 256, 1024, 4096):
-        uids = rng.integers(0, args.users, bs).astype(np.int32)
+        uids = rng.integers(0, srv.n_users, bs).astype(np.int32)
         srv.topk(uids, args.k)  # compile + warm
         lat = []
         for _ in range(args.iters):
@@ -52,11 +81,111 @@ def main():
         lat = np.sort(np.array(lat))
         p50 = lat[len(lat) // 2] * 1e3
         p95 = lat[int(len(lat) * 0.95)] * 1e3
-        pairs = bs * args.items / (lat[len(lat) // 2])
+        pairs = bs * srv.n_items / (lat[len(lat) // 2])
         print(
             f"bs={bs:5d}  p50={p50:8.2f} ms  p95={p95:8.2f} ms  "
             f"{pairs/1e9:8.2f} G pairs/s e2e"
         )
+
+
+def run_device_only(ue, ie, args, rng):
+    """Marginal device time per request (co-located driver's cost)."""
+    import jax.numpy as jnp
+
+    excluded = jnp.zeros(ie.shape[0], bool)
+    for bs in (256, 1024, 4096):
+        rated = jnp.full((bs, 1), ie.shape[0], jnp.int32)
+        t = _chained_sweep_time(
+            ue, jnp.asarray(ie), rated, excluded, args.k, bs,
+            args.iters, False,
+        )
+        pairs = bs * ie.shape[0] / t
+        print(
+            f"bs={bs:5d}  device={t*1e3:8.2f} ms/batch  "
+            f"{t/bs*1e6:8.2f} us/request  {pairs/1e9:8.2f} G pairs/s device"
+        )
+
+
+def run_bf16_ab(ue, ie, args, rng, source):
+    import jax.numpy as jnp
+
+    from coldrec_tpu.runtime.serving import RetrievalServer
+
+    n_items = ie.shape[0]
+    excluded = jnp.zeros(n_items, bool)
+    bs = 4096
+    rated = jnp.full((bs, 1), n_items, jnp.int32)
+    res = {}
+    for name, bf16 in (("fp32", False), ("bf16", True)):
+        t = _chained_sweep_time(
+            ue, jnp.asarray(ie), rated, excluded, args.k, bs,
+            args.iters, bf16,
+        )
+        res[name] = t
+        print(
+            f"{name}: device={t*1e3:8.2f} ms/batch "
+            f"({bs*n_items/t/1e9:.2f} G pairs/s)"
+        )
+    print(f"bf16 speedup: {res['fp32']/res['bf16']:.2f}x")
+
+    # rank drift on the actual ranked lists (server API, both paths exact
+    # top-k of their respective score precisions)
+    srv = RetrievalServer(ue, ie)
+    uids = rng.integers(0, ue.shape[0], bs).astype(np.int32)
+    _, ids32 = srv.topk(uids, args.k, exclude_rated=False)
+    _, ids16 = srv.topk(uids, args.k, exclude_rated=False, bf16=True)
+    changed = (ids32 != ids16).any(axis=1)
+    overlap = np.array(
+        [np.intersect1d(a, b).size for a, b in zip(ids32, ids16)]
+    ) / args.k
+    print(
+        f"rank drift on {source} tables: {changed.sum()}/{bs} users with "
+        f"any top-{args.k} list change; mean top-{args.k} overlap "
+        f"{overlap.mean():.4f}"
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--items", type=int, default=270_336)
+    ap.add_argument("--users", type=int, default=92_107)
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--device_only", action="store_true")
+    ap.add_argument("--bf16_ab", action="store_true")
+    ap.add_argument(
+        "--emb", default="",
+        help="npz checkpoint-bus artifact supplying real trained tables "
+        "for the bf16 A/B (keys user_emb/item_emb)",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    from coldrec_tpu.runtime.serving import RetrievalServer
+
+    rng = np.random.default_rng(0)
+    if args.emb:
+        z = np.load(args.emb)
+        ue = np.asarray(z["user_emb"], np.float32)
+        ie = np.asarray(z["item_emb"], np.float32)
+        source = os.path.basename(args.emb)
+    else:
+        ue = rng.standard_normal((args.users, args.d)).astype(np.float32)
+        ie = rng.standard_normal((args.items, args.d)).astype(np.float32)
+        source = "random"
+    print(
+        f"platform={jax.devices()[0].platform} items={ie.shape[0]} "
+        f"d={ie.shape[1]} k={args.k} tables={source}"
+    )
+
+    if args.device_only:
+        run_device_only(ue, ie, args, rng)
+    elif args.bf16_ab:
+        run_bf16_ab(ue, ie, args, rng, source)
+    else:
+        run_e2e(RetrievalServer(ue, ie), args, rng)
 
 
 if __name__ == "__main__":
