@@ -95,7 +95,7 @@ def bench_pallas_sweep(user_emb, item_emb, rated, excluded):
     def chained(u):
         def body(u, _):
             vals, _, sus = _sweep_padded(
-                u, ie, rat, exc, i_pad, b_pad, 256, block_i, TOP_K, False
+                u, ie, rat, exc, i_pad, b_pad, 256, block_i, TOP_K
             )
             dep = vals[:, :1] + sus[:, None].astype(u.dtype)
             return u + 1e-38 * dep, None

@@ -281,7 +281,7 @@ def apply_exact_fallback(vals, ids, sus, exact_chunk_fn, chunk=4096):
 def _sweep_padded(
     user_emb, item_emb, rated_pad, excluded,
     i_pad: int, b_pad: int, tile_u: int, block_i: int, k: int,
-    interpret: bool, bf16: bool = False,
+    *, interpret: bool = False, bf16: bool = False,
 ):
     """Pad + transpose ON DEVICE, sweep, resolve. Keeping the padding in
     jit means device-resident tables (the production eval case) never
@@ -351,7 +351,7 @@ def retrieval_topk(
     excl = jnp.asarray(excluded)
     vals_d, ids_d, suspicious = _sweep_padded(
         user_emb, item_emb, rated_ids, excl,
-        i_pad, b_pad, tile_u, block_i, k, interpret, bf16,
+        i_pad, b_pad, tile_u, block_i, k, interpret=interpret, bf16=bf16,
     )
     vals, ids = _torch_tie_order(np.array(vals_d), np.array(ids_d))
 

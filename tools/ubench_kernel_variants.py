@@ -40,7 +40,7 @@ def bench_variant(ue, ie, rat, exc, tile_u, block_i, bf16, n_iter=16):
         def body(u, _):
             vals, _, sus = _sweep_padded(
                 u, ie, rat, exc, i_pad, b_pad, tile_u, block_i, TOP_K,
-                False, bf16,
+                bf16=bf16,
             )
             dep = vals[:, :1] + sus[:, None].astype(u.dtype)
             return u + 1e-38 * dep, None

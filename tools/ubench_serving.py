@@ -51,7 +51,8 @@ def _chained_sweep_time(ue, ie, rated, excluded, k, bs, n_iter, bf16):
     def chained(u):
         def body(u, _):
             vals, _, sus = _sweep_padded(
-                u, ie, rated, excluded, i_pad, b_pad, tile_u, block_i, k, bf16
+                u, ie, rated, excluded, i_pad, b_pad, tile_u, block_i, k,
+                bf16=bf16,
             )
             dep = vals[:, :1] + sus[:, None].astype(u.dtype)
             return u + 1e-38 * dep, None
