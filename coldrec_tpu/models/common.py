@@ -25,6 +25,18 @@ def normal_init(key, shape, std=0.01, dtype=jnp.float32) -> jnp.ndarray:
     return jax.random.normal(key, shape, dtype) * std
 
 
+# NOTE (round 4, measured dead end): a custom-VJP "lookup" whose backward
+# is a SORTED scatter-add (indices_are_sorted=True) beats the default XLA
+# scatter 3.1x in ISOLATION at BX table shapes (0.958 -> 0.310 ms for
+# 12,288 rows into 270k x 64 — tools/exp_scatter_variants.py), but makes
+# ZERO end-to-end difference inside the real value_and_grad + Adam train
+# step (2.882 vs 2.895 ms full step; grad-only A/B overlaps within noise
+# — tools/exp_mf_step_decomp.py, tools/exp_grad_sorted.py): XLA already
+# schedules the autodiff scatter efficiently in context. Models therefore
+# keep plain `table[ids]` gathers; revisit only if a profile shows the
+# scatter dominating on future toolchains.
+
+
 def linear_params(key, in_dim: int, out_dim: int, bias: bool = True) -> Dict:
     """torch nn.Linear default init: kaiming-uniform W, uniform bias."""
     kw, kb = jax.random.split(key)
