@@ -36,6 +36,23 @@ import numpy as np
 def _stage(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+
+def device_sync(out):
+    """Force completion of ``out``'s computation and return it.
+
+    ``jax.block_until_ready`` is a NO-OP under some axon tunnel builds
+    (observed round 4: 0.2 ms for an 8-deep 4096^3 matmul chain, while
+    fetching one element of the result took 4.7 s). Pulling a single
+    element to the host cannot be elided, so every timing loop syncs
+    through a data fetch; the fetch's ~constant dispatch/rtt cost is
+    removed by the two-point chain subtraction where that is used.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+    return out
+
 DIM = 64
 TOP_K = 20
 MAX_RATED = 64
@@ -103,19 +120,24 @@ def bench_pallas_sweep(user_emb, item_emb, rated, excluded):
         u, _ = jax.lax.scan(body, u, None, length=n_iter)
         return u
 
-    jax.block_until_ready(chained(ue))  # compile + warm
+    ue = device_sync(chained(ue))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(ue))
+        # feed the (perturbed) output back in: every dispatch has fresh
+        # args, so the remote backend can neither memoize nor elide it
+        ue = device_sync(chained(ue))
         best = min(best, time.perf_counter() - t0)
     device_pps = n_iter * n_users * n_items / best
 
     retrieval_topk(ue, ie, rat, exc, TOP_K)  # warm the e2e path
     best = float("inf")
-    for _ in range(REPEATS):
+    for r in range(REPEATS):
+        # fresh user rows per rep (host roll + re-upload — a real driver
+        # uploads its query batch too) so no dispatch can be memoized
+        ue_r = jnp.asarray(np.roll(user_emb, r + 1, axis=0))
         t0 = time.perf_counter()
-        retrieval_topk(ue, ie, rat, exc, TOP_K)
+        retrieval_topk(ue_r, ie, rat, exc, TOP_K)
         best = min(best, time.perf_counter() - t0)
     return device_pps, n_users * n_items / best
 
@@ -156,11 +178,11 @@ def bench_xla_sweep(user_emb, item_emb, rated, excluded) -> float:
         ue, _ = jax.lax.scan(body, ue, None, length=n_iter)
         return ue
 
-    jax.block_until_ready(chained(ue))  # compile + warm
+    ue = device_sync(chained(ue))  # compile + warm
     best = float("inf")
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(ue))
+        ue = device_sync(chained(ue))  # fresh args per rep (no memoization)
         best = min(best, time.perf_counter() - t0)
     return n_iter * pad * n_items / best
 
@@ -170,8 +192,11 @@ def bench_mf_train_step(n_iter=64, bs=4096):
 
     The production step structure (models/mf.py::loss_fn + common.adam +
     the --fused_steps lax.scan form, tools/exp_fused_steps.py): K steps
-    chained through the params inside ONE jit dispatch, so the number is
-    pure serialized device time. Returns (ms_per_step, trained_pairs_per_s).
+    chained through the params inside ONE jit dispatch, timed with the
+    same two-point dispatch subtraction as the roofline (chains of K and
+    K/2; the difference removes the remote-dispatch constant a single
+    chain folds into every step). Returns (ms_per_step,
+    trained_pairs_per_s).
     """
     import jax
     import jax.numpy as jnp
@@ -222,20 +247,26 @@ def bench_mf_train_step(n_iter=64, bs=4096):
         )
         return params, opt_state, losses
 
-    jax.block_until_ready(fused(params, opt_state, batches))  # compile
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fused(params, opt_state, batches))
-        best = min(best, time.perf_counter() - t0)
-    return best / n_iter * 1e3, n_iter * bs / best
+    def timed(xs):
+        p, o, _ = device_sync(fused(params, opt_state, xs))  # compile+warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            # trained params feed the next rep: fresh args every dispatch
+            p, o, _ = device_sync(fused(p, o, xs))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    half = {k: v[: n_iter // 2] for k, v in batches.items()}
+    t_step = (timed(batches) - timed(half)) / (n_iter - n_iter // 2)
+    return t_step * 1e3, bs / t_step
 
 
 def bench_spmm_roofline(n=346112, k=24, n_iter=20):
     """LightGCN ELL SpMM step at the book-crossing slab + an HBM roofline
     with MEASURED in-situ denominators:
 
-      * stream ceiling — contiguous read+write (y = x + 1) on a 1 GB array;
+      * stream ceiling — contiguous read+write (y = x + 1) on a 256 MB array;
       * gather ceiling — random row gather x[idx] at the SAME row
         granularity (d=64 rows, 256 B) the SpMM pays.
 
@@ -280,11 +311,11 @@ def bench_spmm_roofline(n=346112, k=24, n_iter=20):
                 a, _ = jax.lax.scan(body, a, None, length=n)
                 return a
 
-            jax.block_until_ready(run(arg))
+            a = device_sync(run(arg))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(run(arg))
+                a = device_sync(run(a))  # fresh args per rep
                 best = min(best, time.perf_counter() - t0)
             return best
 

@@ -77,6 +77,14 @@ def latent_interactions(
 
     # ---- per-user degrees: pareto-ish, exact-sum nnz ----
     cap = min(n_items, max(min_degree + 1, int(0.6 * n_items)))
+    if not n_users * min_degree <= nnz <= n_users * cap:
+        # without this the exact-sum adjust loop below spins forever on an
+        # empty donor/recipient pool (rng.choice(empty, size=0) is a no-op)
+        raise ValueError(
+            f"nnz={nnz} outside the achievable range "
+            f"[{n_users * min_degree}, {n_users * cap}] for "
+            f"n_users={n_users}, min_degree={min_degree}, cap={cap}"
+        )
     w = rng.pareto(degree_a, n_users) + 1.0
     deg = np.clip(
         np.floor(w / w.sum() * nnz).astype(np.int64), min_degree, cap
@@ -113,15 +121,31 @@ def latent_interactions(
             items_out[offsets[u]: offsets[u + 1]] = top[j, : deg[u]]
 
     # item coverage within the exact budget: each missing item replaces the
-    # lowest-ranked pick of a distinct heavy user (the missing item was
-    # picked by no one, so no within-user duplicate can appear)
+    # lowest-ranked pick of a distinct heavy user (a missing item is held
+    # by no one, so no within-user duplicate can appear). The replaced pick
+    # may itself have been that item's ONLY occurrence, so iterate until
+    # the count vector has no zeros — the first pass is identical to the
+    # single-shot repair (same rng draws), extra passes only run where the
+    # single shot would have left newly-uncovered items.
     counts = np.bincount(items_out, minlength=n_items)
     missing = np.flatnonzero(counts == 0)
-    if missing.size:
-        donors = rng.choice(
-            np.flatnonzero(deg > min_degree), size=missing.size, replace=False
-        )
-        items_out[offsets[donors + 1] - 1] = missing
+    for _ in range(100):
+        if not missing.size:
+            break
+        pool = np.flatnonzero(deg > min_degree)
+        take = min(missing.size, pool.size)
+        if take == 0:
+            raise RuntimeError(
+                "item-coverage repair has no donor users (all at min_degree)"
+            )
+        donors = rng.choice(pool, size=take, replace=False)
+        slots = offsets[donors + 1] - 1
+        np.subtract.at(counts, items_out[slots], 1)
+        items_out[slots] = missing[:take]
+        counts[missing[:take]] += 1
+        missing = np.flatnonzero(counts == 0)
+    else:
+        raise RuntimeError("item-coverage repair did not converge")
     pairs = np.stack([users_out, items_out], axis=1)
     return pairs, uf, vf
 

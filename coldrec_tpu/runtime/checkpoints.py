@@ -112,7 +112,14 @@ def save_embeddings(
         for k, v in tensors.items():
             # np.array copy: torch warns on (and may alias) non-writable views
             torch.save(torch.from_numpy(np.array(v)), f"{prefix}{k}.pt")
-    return path
+    if fmt == "pt" and os.path.exists(path):
+        # a stale npz from an earlier run would shadow this fresh export
+        # (load_embeddings prefers the npz) — remove it so the bus serves
+        # the tensors just written
+        os.remove(path)
+    return path if fmt != "pt" else _pt_prefix(
+        emb_dir, dataset, cold_object, model
+    )
 
 
 def load_embeddings(

@@ -74,6 +74,21 @@ def test_pt_fallback_prefers_npz(tmp_path):
     np.testing.assert_array_equal(out["user_emb"], b["user_emb"])
 
 
+def test_pt_export_removes_stale_npz(tmp_path):
+    """fmt='pt' after an older npz: the stale npz must not shadow the
+    fresh export (load_embeddings prefers the npz when present)."""
+    from coldrec_tpu.runtime.checkpoints import load_embeddings, save_embeddings
+
+    a = {"user_emb": np.ones((2, 3), np.float32),
+         "item_emb": np.ones((2, 3), np.float32)}
+    b = {"user_emb": 2 * np.ones((2, 3), np.float32),
+         "item_emb": 2 * np.ones((2, 3), np.float32)}
+    save_embeddings(str(tmp_path), "ds", "item", "MF", a, fmt="npz")
+    save_embeddings(str(tmp_path), "ds", "item", "MF", b, fmt="pt")
+    out = load_embeddings(str(tmp_path), "ds", "item", "MF")
+    np.testing.assert_array_equal(out["user_emb"], b["user_emb"])
+
+
 def test_missing_both_raises(tmp_path):
     from coldrec_tpu.runtime.checkpoints import load_embeddings
 
@@ -117,10 +132,17 @@ def test_our_pt_export_feeds_reference_gar(interop_sandbox):
     from parity_check import run_ours, run_reference
 
     root = interop_sandbox
+    emb = os.path.join(root, "emb")
+    # the previous test left REFERENCE-written MF .pt files in the shared
+    # sandbox; delete them so a broken export cannot hide behind leftovers
+    # (the exists-assert below must see OUR files, not theirs)
+    for side in ("user", "item"):
+        p = os.path.join(emb, f"parity_cold_item_MF_{side}_emb.pt")
+        if os.path.exists(p):
+            os.remove(p)
     run_ours(root, "MF", epochs=3, runs=1,
              extra_args={"save_emb_format": "pt"})
-    emb = os.path.join(root, "emb")
-    # our export overwrote/created the reference-layout files
+    # our export created the reference-layout files
     assert os.path.exists(
         os.path.join(emb, "parity_cold_item_MF_item_emb.pt")
     )

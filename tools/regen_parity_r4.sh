@@ -15,51 +15,9 @@ export JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS=
 LOG=tools/regen_parity_r4.log
 touch "$LOG"
 
-# Idempotent AND monotone (same rule as regen_parity.sh, ranks extended).
-done_already() { # done_already <model> <scale> <user|item>
-  python - "$1" "$2" "$3" <<'PY'
-import json, sys
-model, scale, obj = sys.argv[1:4]
-suffix = "" if obj == "item" else "_user"
-if scale == "xing":
-    suffix += "_xing"
-path = f"tools/PARITY_{model}{suffix}.json"
-rank = {"small": 0, "medium": 1, "ml": 2, "mlfull": 3, "xing": 3}
-try:
-    d = json.load(open(path))
-except Exception:
-    sys.exit(1)
-ok = (
-    d.get("runs", 0) >= 5
-    and rank.get(d.get("scale"), -1) >= rank[scale]
-    and d.get("harness_version") == 3
-)
-sys.exit(0 if ok else 1)
-PY
-}
-
-run() { # run --model <m> [--cold_object user] --scale <s> [...]
-  local model="" scale="" obj=item a
-  local -a argv=("$@")
-  for ((a = 0; a < $#; a++)); do
-    case "${argv[a]}" in
-      --model) model="${argv[a+1]}" ;;
-      --scale) scale="${argv[a+1]}" ;;
-      --cold_object) obj="${argv[a+1]}" ;;
-    esac
-  done
-  if done_already "$model" "$scale" "$obj"; then
-    echo "== skip $model ($obj, $scale: artifact current)" | tee -a "$LOG"
-    return
-  fi
-  local t0=$SECONDS
-  echo "== [$(date +%H:%M:%S)] parity $*" | tee -a "$LOG"
-  if python tools/parity_check.py --runs 5 "$@" >> "$LOG" 2>&1; then
-    echo "   OK  ($((SECONDS-t0))s)" | tee -a "$LOG"
-  else
-    echo "   FAIL($((SECONDS-t0))s)  <<<<<<" | tee -a "$LOG"
-  fi
-}
+# done_already/run live in the shared lib (idempotent AND monotone skip
+# rule — one copy, also used by the parallel lane scripts)
+source tools/regen_r4_lib.sh
 
 # --- tier mlfull: item-cold, cheapest-first so upgrades bank early ---
 run --model MF         --scale mlfull --epochs 15

@@ -48,11 +48,19 @@ def bench_variant(ue, ie, rat, exc, tile_u, block_i, bf16, n_iter=16):
         u, _ = jax.lax.scan(body, u, None, length=n_iter)
         return u
 
-    jax.block_until_ready(chained(ue))
+
+    def _sync(a):
+        # block_until_ready is a no-op under some axon tunnel builds
+        # (bench.py::device_sync): force completion via a 1-element fetch
+        import numpy as _np
+        _np.asarray(jax.device_get(jax.tree_util.tree_leaves(a)[0].ravel()[0]))
+        return a
+
+    ue = _sync(chained(ue))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(ue))
+        ue = _sync(chained(ue))  # fresh args per rep: no memoization
         best = min(best, time.perf_counter() - t0)
     return n_iter * n_users * n_items / best
 

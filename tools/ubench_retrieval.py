@@ -40,11 +40,19 @@ def chain_time(step, carry, n_iter=16, repeats=3):
         c, _ = jax.lax.scan(body, c, None, length=n_iter)
         return c
 
-    out = jax.block_until_ready(run(carry))  # compile + warm
+
+    def _sync(a):
+        # block_until_ready is a no-op under some axon tunnel builds
+        # (bench.py::device_sync): force completion via a 1-element fetch
+        import numpy as _np
+        _np.asarray(jax.device_get(jax.tree_util.tree_leaves(a)[0].ravel()[0]))
+        return a
+
+    carry = _sync(run(carry))  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(run(carry))
+        carry = _sync(run(carry))  # fresh args per rep: no memoization
         best = min(best, time.perf_counter() - t0)
     return best / n_iter
 

@@ -32,8 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _chained_sweep_time(ue, ie, rated, excluded, k, bs, n_iter, bf16):
-    """Serving sweep (fused kernel + resolve) chained n_iter times in ONE
-    jit; returns seconds per sweep. Mirrors bench.py::bench_pallas_sweep."""
+    """Serving sweep (fused kernel + resolve) chained inside ONE jit;
+    returns seconds per sweep via the two-point dispatch subtraction
+    (chains of n_iter and n_iter/2 — the difference cancels the remote
+    dispatch constant a single chain would fold into every sweep)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -47,8 +51,8 @@ def _chained_sweep_time(ue, ie, rated, excluded, k, bs, n_iter, bf16):
     b_pad = _round_up(bs, 256)
     tile_u = min(256, b_pad)
 
-    @jax.jit
-    def chained(u):
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def chained(u, length):
         def body(u, _):
             vals, _, sus = _sweep_padded(
                 u, ie, rated, excluded, i_pad, b_pad, tile_u, block_i, k,
@@ -57,17 +61,26 @@ def _chained_sweep_time(ue, ie, rated, excluded, k, bs, n_iter, bf16):
             dep = vals[:, :1] + sus[:, None].astype(u.dtype)
             return u + 1e-38 * dep, None
 
-        u, _ = jax.lax.scan(body, u, None, length=n_iter)
+        u, _ = jax.lax.scan(body, u, None, length=length)
         return u
 
-    u = jnp.asarray(ue[:bs])
-    jax.block_until_ready(chained(u))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chained(u))
-        best = min(best, time.perf_counter() - t0)
-    return best / n_iter
+    def sync(a):
+        """block_until_ready is a no-op under some axon tunnel builds
+        (bench.py::device_sync) — force completion via a 1-element fetch."""
+        np.asarray(jax.device_get(a.ravel()[0]))
+        return a
+
+    def timed(length):
+        u = sync(chained(jnp.asarray(ue[:bs]), length))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            u = sync(chained(u, length))  # fresh args: no memoization
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    half = max(1, n_iter // 2)
+    return (timed(n_iter) - timed(half)) / (n_iter - half)
 
 
 def run_e2e(srv, args, rng):

@@ -61,11 +61,19 @@ def time_chained(apply_fn, x, cols, vals, n_iter=20):
         x, _ = jax.lax.scan(body, x, None, length=n_iter)
         return x
 
-    jax.block_until_ready(chained(x))
+
+    def _sync(a):
+        # block_until_ready is a no-op under some axon tunnel builds
+        # (bench.py::device_sync): force completion via a 1-element fetch
+        import numpy as _np
+        _np.asarray(jax.device_get(jax.tree_util.tree_leaves(a)[0].ravel()[0]))
+        return a
+
+    x = _sync(chained(x))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(x))
+        x = _sync(chained(x))  # fresh args per rep: no memoization
         best = min(best, time.perf_counter() - t0)
     return best / n_iter
 
