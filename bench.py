@@ -86,14 +86,19 @@ def bench_pallas_sweep(user_emb, item_emb, rated, excluded):
     """Production fused-kernel sweep at book-crossing width.
 
     Returns (device_pps, e2e_pps):
-    * device_pps — 16 dependency-chained sweeps inside ONE jitted
-      lax.scan (kernel + resolve, pure serialized device time; the
-      number that tracks the chip round over round);
+    * device_pps — dependency-chained sweeps inside ONE jitted lax.scan
+      (kernel + resolve), timed as the TWO-POINT difference of 64- and
+      32-length chains (median of 5 each): the subtraction cancels the
+      per-call constant (dispatch + fetch + scan setup, ~26 ms here) that
+      a single-length chain folds into every sweep — rounds 1-3 divided
+      one 16-chain total by 16 and so understated the device rate (236 vs
+      364 G pairs/s at this config);
     * e2e_pps — one full retrieval_topk call per repeat including the
       remote-tunnel dispatch and result download (this environment
       dispatches over HTTP at ~100 ms/launch; in production the driver
       is co-located and e2e approaches the device number).
     """
+    import functools
     import jax
     import jax.numpy as jnp
 
@@ -106,10 +111,9 @@ def bench_pallas_sweep(user_emb, item_emb, rated, excluded):
     n_users, n_items = user_emb.shape[0], item_emb.shape[0]
     block_i = default_block_i(n_items)  # always the production config
     i_pad, b_pad = _round_up(n_items, block_i), _round_up(n_users, 256)
-    n_iter = 16
 
-    @jax.jit
-    def chained(u):
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def chained(u, length):
         def body(u, _):
             vals, _, sus = _sweep_padded(
                 u, ie, rat, exc, i_pad, b_pad, 256, block_i, TOP_K
@@ -117,18 +121,23 @@ def bench_pallas_sweep(user_emb, item_emb, rated, excluded):
             dep = vals[:, :1] + sus[:, None].astype(u.dtype)
             return u + 1e-38 * dep, None
 
-        u, _ = jax.lax.scan(body, u, None, length=n_iter)
+        u, _ = jax.lax.scan(body, u, None, length=length)
         return u
 
-    ue = device_sync(chained(ue))  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        # feed the (perturbed) output back in: every dispatch has fresh
-        # args, so the remote backend can neither memoize nor elide it
-        ue = device_sync(chained(ue))
-        best = min(best, time.perf_counter() - t0)
-    device_pps = n_iter * n_users * n_items / best
+    def timed(length):
+        # median of 5 with each rep feeding its output back in (fresh
+        # args every dispatch: no memoization); median, not best-of —
+        # min(t64) - min(t32) subtracts inconsistently under jitter
+        u = device_sync(chained(ue, length))  # compile + warm
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            u = device_sync(chained(u, length))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    t_sweep = (timed(64) - timed(32)) / 32
+    device_pps = n_users * n_items / t_sweep
 
     retrieval_topk(ue, ie, rat, exc, TOP_K)  # warm the e2e path
     best = float("inf")
@@ -160,12 +169,10 @@ def bench_xla_sweep(user_emb, item_emb, rated, excluded) -> float:
     uidd = jnp.asarray(uid.reshape(n_chunks, batch))
     exc = jnp.asarray(excluded)
 
-    n_iter = 64  # dependency-chain sweeps so the remote ~100 ms dispatch
-    # amortizes away and the number tracks pure device time (same
-    # methodology as bench_pallas_sweep; round-over-round comparable)
+    import functools
 
-    @jax.jit
-    def chained(ue):
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def chained(ue, length):
         def body(ue, _):
             def chunk(c, _):
                 scores = ue[uidd[c]] @ ie.T
@@ -175,16 +182,22 @@ def bench_xla_sweep(user_emb, item_emb, rated, excluded) -> float:
             _, tops = jax.lax.scan(chunk, 0, None, length=n_chunks)
             return ue + 1e-38 * tops.reshape(-1)[0], None
 
-        ue, _ = jax.lax.scan(body, ue, None, length=n_iter)
+        ue, _ = jax.lax.scan(body, ue, None, length=length)
         return ue
 
-    ue = device_sync(chained(ue))  # compile + warm
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        ue = device_sync(chained(ue))  # fresh args per rep (no memoization)
-        best = min(best, time.perf_counter() - t0)
-    return n_iter * pad * n_items / best
+    def timed(length):
+        # two-point methodology as bench_pallas_sweep: median of 5,
+        # output fed back per rep (fresh args — no memoization)
+        u = device_sync(chained(ue, length))  # compile + warm
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            u = device_sync(chained(u, length))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    t_sweep = (timed(64) - timed(32)) / 32
+    return pad * n_items / t_sweep
 
 
 def bench_mf_train_step(n_iter=64, bs=4096):
@@ -329,7 +342,10 @@ def bench_spmm_roofline(n=346112, k=24, n_iter=20):
     # 256 MB: big enough to defeat caches, small enough that the one-time
     # host->device upload over the remote tunnel stays in seconds
     big = jnp.asarray(rng.standard_normal(1 << 26).astype(np.float32))
-    t_stream = chain(lambda a: a + 1.0, big, 8)
+    # 128: a stream iter is only ~0.65 ms, so the subtracted span must be
+    # ~80+ ms to rise above the tunnel's ±5 ms jitter (8 iters read
+    # 560-820 GB/s run to run; 48 still wobbled ±15%)
+    t_stream = chain(lambda a: a + 1.0, big, 128)
     stream_gbps = 2 * big.size * 4 / t_stream / 1e9
 
     idx = jnp.asarray(rng.integers(0, n, n * k, dtype=np.int32))

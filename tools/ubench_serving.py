@@ -71,15 +71,22 @@ def _chained_sweep_time(ue, ie, rated, excluded, k, bs, n_iter, bf16):
         return a
 
     def timed(length):
+        """Median of 5 (not best-of: min(t_long) - min(t_short) can cross
+        and even go negative under tunnel jitter; medians subtract
+        consistently)."""
         u = sync(chained(jnp.asarray(ue[:bs]), length))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
+        ts = []
+        for _ in range(5):
             t0 = time.perf_counter()
             u = sync(chained(u, length))  # fresh args: no memoization
-            best = min(best, time.perf_counter() - t0)
-        return best
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
 
-    half = max(1, n_iter // 2)
+    # chains long enough that the subtracted span (n_iter/2 sweeps) dwarfs
+    # the tunnel's multi-ms dispatch jitter — 20/10 chains measured ABOVE
+    # the raw-kernel ceiling (379 G), a giveaway the span was noise-sized
+    n_iter = max(n_iter, 64)
+    half = n_iter // 2
     return (timed(n_iter) - timed(half)) / (n_iter - half)
 
 
@@ -109,9 +116,12 @@ def run_device_only(ue, ie, args, rng):
     excluded = jnp.zeros(ie.shape[0], bool)
     for bs in (256, 1024, 4096):
         rated = jnp.full((bs, 1), ie.shape[0], jnp.int32)
+        # chain length scales inversely with bs so the subtracted span
+        # stays ~100+ ms regardless of how fast a small batch sweeps
+        n_iter = max(args.iters, (4096 // bs) * 64)
         t = _chained_sweep_time(
             ue, jnp.asarray(ie), rated, excluded, args.k, bs,
-            args.iters, False,
+            n_iter, False,
         )
         pairs = bs * ie.shape[0] / t
         print(
