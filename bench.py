@@ -26,7 +26,9 @@ Prints ONE JSON line with the headline + secondary fields.
 """
 from __future__ import annotations
 
+import contextlib
 import json
+import os
 import sys
 import time
 
@@ -374,6 +376,40 @@ def bench_spmm_roofline(n=346112, k=24, n_iter=20):
     }
 
 
+@contextlib.contextmanager
+def _paused_parity_lanes():
+    """SIGSTOP any registered parity-lane process groups while the torch
+    CPU baseline runs, so a CPU-bound background regen can't slow the
+    baseline and inflate vs_baseline. Exact pgids only, read from
+    tools/.parity_lane_pgids (written by the lane scripts at launch) —
+    never pattern-matched. No-op when the file is absent or the groups
+    are gone; always resumes what it stopped."""
+    import signal
+
+    pidfile = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tools", ".parity_lane_pgids")
+    stopped = []
+    try:
+        with open(pidfile) as fh:
+            pgids = sorted({int(tok) for tok in fh.read().split()})
+    except (OSError, ValueError):
+        pgids = []
+    for pgid in pgids:
+        try:
+            os.killpg(pgid, signal.SIGSTOP)
+            stopped.append(pgid)
+        except (OSError, ProcessLookupError, PermissionError):
+            pass
+    try:
+        yield bool(stopped)
+    finally:
+        for pgid in stopped:
+            try:
+                os.killpg(pgid, signal.SIGCONT)
+            except (OSError, ProcessLookupError, PermissionError):
+                pass
+
+
 def bench_torch_baseline(user_emb, item_emb, rated, excluded,
                          n_bench_users=2048):
     """The reference's eval path (torch matmul + masking + topk) on host
@@ -438,10 +474,12 @@ def main():
     roofline = bench_spmm_roofline()
     _stage("torch baseline")
     try:
-        torch_pps, torch_std = bench_torch_baseline(*bc)
+        with _paused_parity_lanes() as lanes_paused:
+            torch_pps, torch_std = bench_torch_baseline(*bc)
         ratio = bc_pps / torch_pps
         baseline_std_frac = torch_std / torch_pps
     except Exception:
+        lanes_paused = False
         ratio = float("nan")
         baseline_std_frac = float("nan")
 
@@ -455,6 +493,7 @@ def main():
                 "unit": "pairs/s",
                 "vs_baseline": round(ratio, 3),
                 "baseline_std_frac": round(baseline_std_frac, 4),
+                "baseline_lanes_paused": lanes_paused,
                 "e2e_incl_remote_dispatch_pairs_per_sec": round(
                     bc_e2e_pps, 1
                 ),
