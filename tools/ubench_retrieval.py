@@ -29,14 +29,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EPS = 1e-38  # dependency-injection scale: tiny but not constant-foldable
 
 
-def chain_time(step, carry, n_iter=16, repeats=3):
-    """step: carry -> (carry, small_aux). Returns seconds per iteration."""
+def chain_time(step, carry, n_iter=16, repeats=3, consts=()):
+    """step: (carry, *consts) -> (carry, small_aux). Returns seconds per
+    iteration. Large operands (e.g. the item table) MUST ride in
+    ``consts`` so they enter the jit as arguments — closing over them
+    bakes them into the HLO as literal constants and the remote-compile
+    tunnel rejects the request body with HTTP 413 above ~100 MB (same
+    trap as ops/spmm.py::sym_spmm_arrays)."""
     import jax
 
     @jax.jit
-    def run(c):
+    def run(c, *cs):
         def body(c, _):
-            return step(c)
+            return step(c, *cs)
         c, _ = jax.lax.scan(body, c, None, length=n_iter)
         return c
 
@@ -48,11 +53,11 @@ def chain_time(step, carry, n_iter=16, repeats=3):
         _np.asarray(jax.device_get(jax.tree_util.tree_leaves(a)[0].ravel()[0]))
         return a
 
-    carry = _sync(run(carry))  # compile + warm
+    carry = _sync(run(carry, *consts))  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        carry = _sync(run(carry))  # fresh args per rep: no memoization
+        carry = _sync(run(carry, *consts))  # fresh carry per rep
         best = min(best, time.perf_counter() - t0)
     return best / n_iter
 
@@ -99,36 +104,39 @@ def main():
     if not only or "mm" in only:
         ieb = ie.astype(jnp.bfloat16)
 
-        def mm_bf16(u):
-            s = jnp.dot(u, ieb.T, preferred_element_type=jnp.float32)
+        def mm_bf16(u, tbl):
+            s = jnp.dot(u, tbl.T, preferred_element_type=jnp.float32)
             return u + EPS * s.max(axis=1, keepdims=True).astype(u.dtype)
 
         report("matmul bf16 (+rowmax)", chain_time(
-            lambda c: (mm_bf16(c), None), ue.astype(jnp.bfloat16),
-            args.iters))
+            lambda c, tbl: (mm_bf16(c, tbl), None), ue.astype(jnp.bfloat16),
+            args.iters, consts=(ieb,)))
 
-        def mm_f32(u):
-            s = u @ ie.T
+        def mm_f32(u, tbl):
+            s = u @ tbl.T
             return u + EPS * s.max(axis=1, keepdims=True)
 
         report("matmul fp32 (+rowmax)", chain_time(
-            lambda c: (mm_f32(c), None), ue, args.iters))
+            lambda c, tbl: (mm_f32(c, tbl), None), ue, args.iters,
+            consts=(ie,)))
 
-        def mm_hbm(u):
-            s = u @ ie.T  # consumed twice, forcing materialization
+        def mm_hbm(u, tbl):
+            s = u @ tbl.T  # consumed twice, forcing materialization
             return u + EPS * (s.max(axis=1, keepdims=True)
                               + s.min(axis=1, keepdims=True))
 
         report("matmul fp32 -> 2 reads", chain_time(
-            lambda c: (mm_hbm(c), None), ue, args.iters))
+            lambda c, tbl: (mm_hbm(c, tbl), None), ue, args.iters,
+            consts=(ie,)))
 
     if not only or "topk" in only:
-        def xla_step(u):
-            vals, _ = masked_topk(u @ ie.T, rated, excl, K)
+        def xla_step(u, tbl, rt, ex):
+            vals, _ = masked_topk(u @ tbl.T, rt, ex, K)
             return u + EPS * vals[:, :1]
 
         report("XLA masked_topk", chain_time(
-            lambda c: (xla_step(c), None), ue, args.iters))
+            lambda c, tbl, rt, ex: (xla_step(c, tbl, rt, ex), None), ue,
+            args.iters, consts=(ie, rated, excl)))
 
     if not only or "pallas" in only:
         from coldrec_tpu.ops.pallas import retrieval as rtr
@@ -143,13 +151,14 @@ def main():
         excl_row[0, :I] = np.asarray(excl).astype(np.int8)
         excl_row = jnp.asarray(excl_row)
 
-        def pallas_step(u):
-            cv, ci, gh = rtr._fused_sweep(u, items, excl_row, tile_u, block_i)
-            v, _, sus = rtr._resolve(cv, ci, gh, rated, K)
+        def pallas_step(u, tbl, ex, rt):
+            cv, ci, gh = rtr._fused_sweep(u, tbl, ex, tile_u, block_i)
+            v, _, sus = rtr._resolve(cv, ci, gh, rt, K)
             return u + EPS * (v[:, :1] + sus[:, None].astype(u.dtype))
 
         report("Pallas fused (kernel+resolve)", chain_time(
-            lambda c: (pallas_step(c), None), ue, args.iters))
+            lambda c, tbl, ex, rt: (pallas_step(c, tbl, ex, rt), None), ue,
+            args.iters, consts=(items, excl_row, rated)))
 
         cv, ci, gh = rtr._fused_sweep(ue, items, excl_row, tile_u, block_i)
         _, _, sus = rtr._resolve(cv, ci, gh, rated, K)
