@@ -394,7 +394,21 @@ def _paused_parity_lanes():
             pgids = sorted({int(tok) for tok in fh.read().split()})
     except (OSError, ValueError):
         pgids = []
+
+    def is_lane(pgid):
+        # A recorded pgid may be stale (host reboot + pid reuse): only
+        # stop a group whose leader's cmdline is actually one of our lane
+        # scripts or the parity harness. Never freeze an unknown group.
+        try:
+            with open(f"/proc/{pgid}/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\x00", b" ")
+        except OSError:
+            return False
+        return b"regen_" in cmd or b"parity" in cmd
+
     for pgid in pgids:
+        if not is_lane(pgid):
+            continue
         try:
             os.killpg(pgid, signal.SIGSTOP)
             stopped.append(pgid)
@@ -456,6 +470,54 @@ def bench_torch_baseline(user_emb, item_emb, rated, excluded,
     return max(pps), float(np.std(pps))
 
 
+def bench_torch_train_baseline(n_steps=16, bs=4096):
+    """The reference's MF TRAINING step on host CPU at the same
+    book-crossing table shapes as bench_mf_train_step: full-table
+    nn.Embedding forward, row indexing, BPR + L2, dense torch Adam
+    (reference model/MF.py:12-28 — ``model()`` returns the whole tables
+    and Adam walks every parameter each step, so that is the measured
+    cost). Affinity pinned, best of 3 (best-case favours the baseline);
+    returns (trained_pairs_per_s, std_across_reps).
+    """
+    import torch
+
+    try:
+        os.sched_setaffinity(0, range(os.cpu_count() or 4))
+    except (AttributeError, OSError):
+        pass
+    torch.set_num_threads(os.cpu_count() or 4)
+    n_users, n_items, d, reg = 92107, 270170, DIM, 1e-4
+    g = torch.Generator().manual_seed(0)
+    user_emb = torch.nn.Parameter(torch.randn(n_users, d, generator=g) * 0.01)
+    item_emb = torch.nn.Parameter(torch.randn(n_items, d, generator=g) * 0.01)
+    opt = torch.optim.Adam([user_emb, item_emb], lr=1e-3)
+    rng = np.random.default_rng(3)
+    users = torch.from_numpy(rng.integers(0, n_users, (n_steps, bs)))
+    pos = torch.from_numpy(rng.integers(0, n_items, (n_steps, bs)))
+    neg = torch.from_numpy(rng.integers(0, n_items, (n_steps, bs)))
+
+    def step(i):
+        u, p, n = user_emb[users[i]], item_emb[pos[i]], item_emb[neg[i]]
+        # reference util/utils.py bpr_loss + l2_reg_loss (eps 1e-5)
+        loss = -torch.log(
+            1e-5 + torch.sigmoid((u * p).sum(1) - (u * n).sum(1))
+        ).mean()
+        loss = loss + reg * (u.norm(2) + p.norm(2) + n.norm(2)) / bs
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    step(0)  # warmup (Adam state alloc)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            step(i)
+        times.append(time.perf_counter() - t0)
+    pps = [n_steps * bs / t for t in times]
+    return max(pps), float(np.std(pps))
+
+
 def main():
     import jax
 
@@ -473,15 +535,21 @@ def main():
     _stage("spmm roofline")
     roofline = bench_spmm_roofline()
     _stage("torch baseline")
+    lanes_paused = False
+    ratio = baseline_std_frac = float("nan")
+    train_ratio = train_std_frac = float("nan")
     try:
-        with _paused_parity_lanes() as lanes_paused:
+        with _paused_parity_lanes() as paused:
+            lanes_paused = paused
             torch_pps, torch_std = bench_torch_baseline(*bc)
+            _stage("torch train baseline")
+            torch_train_pps, torch_train_std = bench_torch_train_baseline()
         ratio = bc_pps / torch_pps
         baseline_std_frac = torch_std / torch_pps
+        train_ratio = mf_train_pps / torch_train_pps
+        train_std_frac = torch_train_std / torch_train_pps
     except Exception:
-        lanes_paused = False
-        ratio = float("nan")
-        baseline_std_frac = float("nan")
+        pass
 
     # pairs/s -> matmul FLOP/s (2*d FLOP per scored pair)
     util = bc_pps * 2 * DIM / (BF16_PEAK_TFLOPS * 1e12)
@@ -505,12 +573,15 @@ def main():
                 "bf16_peak_tflops": BF16_PEAK_TFLOPS,
                 "mf_fused_train_step_ms": round(mf_step_ms, 3),
                 "mf_train_pairs_per_sec": round(mf_train_pps, 1),
+                "train_vs_baseline": round(train_ratio, 3),
+                "train_baseline_std_frac": round(train_std_frac, 4),
                 **roofline,
                 "device_kind": jax.devices()[0].device_kind,
                 "baseline_caveat": (
-                    "baseline = PyTorch reference eval path on the 4-core "
-                    "host CPU (only reference implementation in-image), "
-                    "affinity-pinned, best of 3 with std"
+                    "baselines = PyTorch reference eval path and MF "
+                    "training step on the 4-core host CPU (only reference "
+                    "implementation in-image), affinity-pinned, best of 3 "
+                    "with std"
                 ),
             }
         )
