@@ -47,3 +47,47 @@ run() { # run --model <m> [--cold_object user] --scale <s> [...]
     echo "   FAIL($((SECONDS-t0))s)  <<<<<<" | tee -a "$LOG"
   fi
 }
+
+# --- round-5 additions ---
+
+lane_register_pgid() {
+  # ADVICE r4: record the REAL pgid (== $$ only when the lane is a group
+  # leader) and remove it again on exit so bench.py never acts on stale
+  # pids after a reboot (bench.py also validates /proc/<pgid>/cmdline).
+  LANE_PGID=$(ps -o pgid= -p $$ | tr -d ' ')
+  echo "$LANE_PGID" >> tools/.parity_lane_pgids
+  # shellcheck disable=SC2064
+  trap "grep -vx '$LANE_PGID' tools/.parity_lane_pgids > tools/.plp.$$ 2>/dev/null; mv tools/.plp.$$ tools/.parity_lane_pgids" EXIT
+}
+
+run_to() { # run_to <timeout_s> <run-args...> -- bounded entry so one slow
+  # reference config cannot monopolize a lane for the whole round (the
+  # CGRC-ml lesson, tools/CGRC_ML_COST.json). SIGINT makes parity_check's
+  # subprocess.run kill the reference child too.
+  local t="$1"; shift
+  local model="" scale="" obj=item a
+  local -a argv=("$@")
+  for ((a = 0; a < $#; a++)); do
+    case "${argv[a]}" in
+      --model) model="${argv[a+1]}" ;;
+      --scale) scale="${argv[a+1]}" ;;
+      --cold_object) obj="${argv[a+1]}" ;;
+    esac
+  done
+  if done_already "$model" "$scale" "$obj"; then
+    echo "== skip $model ($obj, $scale: artifact current)" | tee -a "$LOG"
+    return
+  fi
+  local t0=$SECONDS
+  echo "== [$(date +%H:%M:%S)] parity(timeout ${t}s) $*" | tee -a "$LOG"
+  timeout --signal=INT --kill-after=120 "$t" \
+    python tools/parity_check.py --runs 5 "$@" >> "$LOG" 2>&1
+  local rc=$?
+  if [ "$rc" -eq 0 ]; then
+    echo "   OK  ($((SECONDS-t0))s)" | tee -a "$LOG"
+  elif [ "$rc" -eq 124 ]; then
+    echo "   TIMEOUT after ${t}s <<<<<< (host-infeasible candidate)" | tee -a "$LOG"
+  else
+    echo "   FAIL($((SECONDS-t0))s) rc=$rc <<<<<<" | tee -a "$LOG"
+  fi
+}
