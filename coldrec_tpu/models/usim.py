@@ -113,6 +113,10 @@ class USIM(ColdStartModelBase):
         self.weight = float(self.args.usim_reward_weight)
         self.reward_cost = float(self.args.usim_reward_cost)
         self.discount = float(self.args.gamma)
+        # PPO gradient passes per batch (reference USIM.py:431: `for _ in
+        # range(5)`); an attribute so the phase profiler can re-jit with
+        # n_ppo=1 and isolate the per-iteration cost (tools/usim_roofline.py)
+        self.n_ppo = 5
 
         hid = int(self.args.usim_content_hidden)
         keys = jax.random.split(self.next_key(), 4)
@@ -468,7 +472,7 @@ class USIM(ColdStartModelBase):
             return (actor, a_state, critic, c_state), None
 
         (actor, a_state, critic, c_state), _ = jax.lax.scan(
-            ppo_iter, (actor, a_state, critic, c_state), None, length=5
+            ppo_iter, (actor, a_state, critic, c_state), None, length=self.n_ppo
         )
         return actor, a_state, critic, c_state
 
@@ -540,7 +544,7 @@ class USIM(ColdStartModelBase):
             return (actor, a_state, critic, c_state), None
 
         (actor, a_state, critic, c_state), _ = jax.lax.scan(
-            ppo_iter, (actor, a_state, critic, c_state), None, length=5
+            ppo_iter, (actor, a_state, critic, c_state), None, length=self.n_ppo
         )
         return actor, a_state, critic, c_state
 

@@ -225,3 +225,75 @@ def test_bus_handoff_two_processes(tmp_path):
     # contract here is the pipeline, not bitwise equality (that is pinned
     # single-process in test_mesh_training.py)
     _assert_metrics_match(base, _json_payload(files_dn[0])["metrics"], tol=2e-3)
+
+
+_SERVING_CHILD = """\
+import os, sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+from coldrec_tpu.parallel.distributed import init_distributed
+init_distributed()
+import jax
+from coldrec_tpu.parallel.mesh import make_mesh
+from coldrec_tpu.runtime.serving import RetrievalServer
+
+t = np.load(sys.argv[1])
+mesh = make_mesh(2, 2)  # data axis across the process boundary
+srv = RetrievalServer(
+    t["user_emb"], t["item_emb"],
+    exclude_items=np.arange(0, t["item_emb"].shape[0], 9), mesh=mesh,
+)
+v, i = srv.topk(np.arange(24, dtype=np.int32), 10, exclude_rated=False)
+if jax.process_index() == 0:
+    np.savez(sys.argv[2], vals=np.asarray(v), ids=np.asarray(i))
+"""
+
+
+def test_serving_two_processes_mesh(tmp_path):
+    """RetrievalServer's mesh-sharded mode over a GLOBAL mesh spanning 2
+    real OS processes (round-4 VERDICT weak #5): both ranks answer the same
+    query batch through the item-axis-sharded kernel; rank 0's ranked lists
+    (vals AND ids) must be identical to a single-device server over the
+    same tables and exclusion mask."""
+    rng = np.random.default_rng(23)
+    tables = str(tmp_path / "tables.npz")
+    user_emb = rng.standard_normal((64, 16)).astype(np.float32)
+    item_emb = rng.standard_normal((112, 16)).astype(np.float32)
+    np.savez(tables, user_emb=user_emb, item_emb=item_emb)
+
+    child = str(tmp_path / "serve_child.py")
+    with open(child, "w") as f:
+        f.write(_SERVING_CHILD.format(repo=REPO))
+    out = str(tmp_path / "rank0_topk.npz")
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env_extra = {
+            "COLDREC_COORDINATOR": f"localhost:{port}",
+            "COLDREC_NUM_PROCESSES": "2",
+            "COLDREC_PROCESS_ID": str(pid),
+        }
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, child, tables, out],
+                env=_env(2, env_extra), cwd=str(tmp_path),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-4000:]
+    assert os.path.isfile(out), "rank 0 wrote no serving result"
+
+    from coldrec_tpu.runtime.serving import RetrievalServer
+
+    srv = RetrievalServer(
+        user_emb, item_emb, exclude_items=np.arange(0, 112, 9)
+    )
+    v_ref, i_ref = srv.topk(np.arange(24, dtype=np.int32), 10,
+                            exclude_rated=False)
+    got = np.load(out)
+    np.testing.assert_allclose(got["vals"], np.asarray(v_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got["ids"], np.asarray(i_ref))

@@ -342,6 +342,8 @@ def compare(ref: dict, ours: dict, top_n="20", runs: int = 2,
             entry["pass"] = ok
             out["metrics"][cell] = entry
             out["pass"] &= ok
+    import jax
+
     out["efficiency"] = {
         "reference_s_per_epoch": ref["efficiency"][
             "seconds_per_completed_epoch_mean"
@@ -349,6 +351,22 @@ def compare(ref: dict, ours: dict, top_n="20", runs: int = 2,
         "coldrec_tpu_s_per_epoch": ours["efficiency"][
             "seconds_per_completed_epoch_mean"
         ],
+        # r4 verdict weak #1: these timings are an accuracy-harness
+        # side-product, not a controlled benchmark — label the environment
+        # so they cannot be read as a head-to-head efficiency claim.
+        "env": {
+            "ours_platform": jax.default_backend(),
+            "omp_num_threads": os.environ.get("OMP_NUM_THREADS", ""),
+            "host_cpus": os.cpu_count(),
+            "note": (
+                "both sides ran sequentially on a shared host (parity "
+                "lanes typically run in parallel with siblings); when "
+                "ours_platform is 'cpu' this compares XLA-CPU against "
+                "torch-CPU, NOT the framework's production TPU path. "
+                "Controlled same-window A/B: tools/AB_EFFICIENCY.json / "
+                "PERF.md 'Training efficiency head-to-head'."
+            ),
+        },
     }
     return out
 

@@ -80,7 +80,12 @@ run_to() { # run_to <timeout_s> <run-args...> -- bounded entry so one slow
   fi
   local t0=$SECONDS
   echo "== [$(date +%H:%M:%S)] parity(timeout ${t}s) $*" | tee -a "$LOG"
-  timeout --signal=INT --kill-after=120 "$t" \
+  # --foreground keeps the child in the LANE's process group (default
+  # timeout setpgids the child into a fresh group, which escapes the
+  # registered pgid and defeats bench.py's baseline pause). On timeout,
+  # INT -> parity_check's KeyboardInterrupt -> subprocess.run kills the
+  # reference child.
+  timeout --foreground --signal=INT --kill-after=120 "$t" \
     python tools/parity_check.py --runs 5 "$@" >> "$LOG" 2>&1
   local rc=$?
   if [ "$rc" -eq 0 ]; then
