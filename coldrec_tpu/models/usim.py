@@ -356,34 +356,56 @@ class USIM(ColdStartModelBase):
             item_emb @ self.user_ext[:-1].T, min(self.k, self.n_user - 1)
         )
         tops = self._target_topk(item_emb)
-        trans = []
-        for r in range(3):
-            key, sub = jax.random.split(key)
-            state = jax.lax.stop_gradient(self._map_content(content))
-            dones = jnp.zeros(items.shape[0], bool)
-            state_time = jnp.full(items.shape[0], float(self.max_time))
-            for t in range(self.max_time):
-                key, sk = jax.random.split(key)
-                action, pos_i, user_i, neg_i, mam = self._sample_mask(
-                    state, item_emb, sk, target_actor, state_time,
-                    topk_user=topk_user,
-                )
-                reward = self._reward(item_emb, state, action, dones, tops)
-                ue = self.user_ext[action] * (1.0 - dones.astype(jnp.float32))[:, None]
-                next_state = state + ue * self.rate
-                dones = dones | (action == self.n_user - 1)
-                idx_state = jnp.concatenate([state, state_time[:, None]], 1)
-                idx_next = jnp.concatenate(
-                    [next_state, (state_time - 1)[:, None]], 1
-                )
-                trans.append(
-                    (idx_state, action, reward, idx_next, dones, pos_i,
-                     user_i, neg_i, mam, valid)
-                )
-                state = next_state
-                state_time = state_time - 1
+        # Rollouts as NESTED lax.scan (outer: 3 rollouts, inner: max_time
+        # steps), NOT python unrolling. Round-5 roofline
+        # (tools/usim_roofline.py, tools/USIM_ROOFLINE.json): the unrolled
+        # 21-step program averaged 182 ms/step at BX scale while the
+        # IDENTICAL step inside a scan runs 42.8 ms (~80% of its measured
+        # matmul+stream-topk floor) — XLA schedules the one-step body far
+        # better than the 21x-unrolled graph. The RNG key threading
+        # reproduces the unrolled loop exactly (one discarded split per
+        # rollout, one split per step), so sampling streams are unchanged.
+        state0 = jax.lax.stop_gradient(self._map_content(content))
 
-        stack = lambda i: jnp.concatenate([t[i] for t in trans], axis=0)
+        def time_step(carry, _):
+            state, dones, state_time, key = carry
+            key, sk = jax.random.split(key)
+            action, pos_i, user_i, neg_i, mam = self._sample_mask(
+                state, item_emb, sk, target_actor, state_time,
+                topk_user=topk_user,
+            )
+            reward = self._reward(item_emb, state, action, dones, tops)
+            ue = self.user_ext[action] * (
+                1.0 - dones.astype(jnp.float32))[:, None]
+            next_state = state + ue * self.rate
+            new_dones = dones | (action == self.n_user - 1)
+            idx_state = jnp.concatenate([state, state_time[:, None]], 1)
+            idx_next = jnp.concatenate(
+                [next_state, (state_time - 1)[:, None]], 1
+            )
+            out = (idx_state, action, reward, idx_next, new_dones, pos_i,
+                   user_i, neg_i, mam, valid)
+            return (next_state, new_dones, state_time - 1, key), out
+
+        def rollout(key, _):
+            key, _sub = jax.random.split(key)  # unrolled loop's per-r split
+            init = (
+                state0,
+                jnp.zeros(items.shape[0], bool),
+                jnp.full(items.shape[0], float(self.max_time)),
+                key,
+            )
+            (_, _, _, key), outs = jax.lax.scan(
+                time_step, init, None, length=self.max_time
+            )
+            return key, outs
+
+        key, trans = jax.lax.scan(rollout, key, None, length=3)
+        # leaves are (3, max_time, B, ...) in the same rollout-major,
+        # step-major order the unrolled concatenate produced
+        stack = lambda i: trans[i].reshape(
+            (-1,) + trans[i].shape[3:]) if trans[i].ndim > 3 else \
+            trans[i].reshape(-1)
         b_state = stack(0)
         b_action = stack(1)
         b_reward = stack(2)

@@ -42,6 +42,19 @@ def masked_topk(
     b, n_items = scores.shape
     r = rated_pad.shape[1]
     masked = jnp.where(excluded[None, :], MASK_VALUE, scores)
+    if (k + r) * r > n_items:
+        # Heavy-rated regime (e.g. XING: power users rate thousands of a
+        # 20k-item space): the overfetch-reject cube below is
+        # (B, k+R, R) — 264 GB at the XING parity shape, the allocation
+        # that OOM'd the round-5 xing lanes. Here a direct scatter of the
+        # rated ids into a widened (B, I+1) mask plane (pad id = I lands
+        # in the dummy column, reference BaseRecommender.py:175-177) is
+        # strictly smaller, exactly the reference's own formulation.
+        rows = jnp.arange(b, dtype=rated_pad.dtype)[:, None]
+        plane = jnp.zeros((b, n_items + 1), bool).at[
+            rows, rated_pad].set(True, mode="drop")[:, :n_items]
+        masked = jnp.where(plane, MASK_VALUE, masked)
+        return _hierarchical_topk(masked, min(k, n_items))
     fetch = min(k + r, n_items)
     cand_vals, cand_idx = _hierarchical_topk(masked, fetch)  # (B, k+R)
 
