@@ -7,10 +7,8 @@ cd "$(dirname "$0")/.."
 export JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= OMP_NUM_THREADS=2
 LOG=tools/regen_r4_laneF.log
 touch "$LOG"
-# Register this lane's process group so bench.py can SIGSTOP it (exact
-# pgid, never a pattern) while it measures the torch CPU baseline.
-echo "$$" >> tools/.parity_lane_pgids
 source tools/regen_r4_lib.sh
+lane_register_pgid
 
 run --model M2VAE --scale ml --epochs 4 --eval_every 2
 run --model DropoutNet --cold_object user --scale mlfull --epochs 8 --shared_backbone --eval_every 2
