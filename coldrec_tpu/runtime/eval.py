@@ -138,17 +138,34 @@ class EvalSweep:
             self.data.item_num,
             self.data.candidate_mask(self.cold_object, data_type),
         )
+        rated = rated.reshape(n_chunks, bs, -1)
+        # Per-chunk rated width, rounded up to a power of two so distinct
+        # program shapes stay bounded. Kept on HOST and uploaded one
+        # chunk at a time: the full (n_chunks, bs, R_max) device upload
+        # is ~9 GB at the XING statistics (R_max tracks the most prolific
+        # user — ~20k ratings) and exhausted the 16 GB chip in the
+        # round-5 xing lane; per-chunk slices are hundreds of MB at most
+        # and most chunks shrink far below R_max.
+        counts = (rated != self.data.item_num).sum(axis=2).max(axis=1)
+        widths = [
+            min(int(1 << max(int(c) - 1, 0).bit_length()) if c else 1,
+                rated.shape[2])
+            for c in counts
+        ]
         state = {
             "split": es,
             "n_users": n,
             "user_chunks": padded_users.reshape(n_chunks, bs),
-            "rated_chunks": jnp.asarray(
-                rated.reshape(n_chunks, bs, -1)
-            ),
+            "rated_chunks": rated,
+            "rated_widths": widths,
             "bias": jnp.asarray(bias),
         }
         self._cache[key] = state
         return state
+
+    def _rated_chunk(self, st, c: int) -> jnp.ndarray:
+        """This chunk's rated ids, width-trimmed to its bucket."""
+        return jnp.asarray(st["rated_chunks"][c][:, : st["rated_widths"][c]])
 
     def run(
         self,
@@ -173,7 +190,7 @@ class EvalSweep:
             users = st["user_chunks"][c]
             scores = score_fn(users)
             _, idx = masked_topk(
-                scores, st["rated_chunks"][c], st["bias"], self.max_n
+                scores, self._rated_chunk(st, c), st["bias"], self.max_n
             )
             outs.append(idx)
         rec = jnp.concatenate(outs, axis=0)[: st["n_users"]]
@@ -189,7 +206,7 @@ class EvalSweep:
         for slot, c in enumerate(mine):
             scores = score_fn(st["user_chunks"][c])
             _, idx = masked_topk(
-                scores, st["rated_chunks"][c], st["bias"], self.max_n
+                scores, self._rated_chunk(st, c), st["bias"], self.max_n
             )
             local[slot] = np.asarray(jax.device_get(idx))
         gathered = allgather_host(local)  # (pc, slots, bs, max_n)
@@ -205,7 +222,7 @@ class EvalSweep:
         from ..ops.pallas.retrieval import LANES, SLOTS
 
         st = self._prepare(split_name, data_type)
-        return self.max_n + int(st["rated_chunks"].shape[-1]) <= SLOTS * LANES
+        return self.max_n + max(st["rated_widths"]) <= SLOTS * LANES
 
     def run_pallas(
         self,
@@ -223,9 +240,10 @@ class EvalSweep:
 
         st = self._prepare(split_name, data_type)
         users = st["user_chunks"].reshape(-1)[: st["n_users"]]
-        rated = st["rated_chunks"].reshape(
-            -1, st["rated_chunks"].shape[-1]
-        )[: st["n_users"]]
+        width = max(st["rated_widths"])
+        rated = jnp.asarray(st["rated_chunks"][:, :, :width].reshape(
+            -1, width
+        )[: st["n_users"]])
         ue = jnp.asarray(user_emb)[jnp.asarray(users)]
         _, ids = retrieval_topk(
             ue,
